@@ -1,0 +1,294 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+import graft.model._
+
+/** A fully prepared link graph: compacted ids, duplicate-folded weighted edges,
+  * degree tables, and the partitioned destination-block adjacency used by the
+  * superstep kernel.
+  *
+  * @param vertexDict  (extId, vid) dictionary; vid dense 0..n-1 ascending by extId
+  *                    (reference: `enumerate(np.unique(edges))`, pagerank.py:622-627)
+  * @param edges       folded edges in vid space; weight = duplicate multiplicity
+  *                    (csc_matrix duplicate-summing, pagerank.py:638-640)
+  * @param inDegrees   (vid, cIn)  weighted in-degree  = column sums, pagerank.py:170
+  * @param outDegrees  (vid, cOut) weighted out-degree = row sums,    pagerank.py:445
+  */
+final class LinkGraph(
+    val spark: SparkSession,
+    val vertexDict: Dataset[VertexMapping],
+    val edges: Dataset[Edge],
+    val numVertices: Long,
+    val numBlocks: Int,
+    val blockSize: Long
+) extends Serializable {
+  import spark.implicits._
+
+  lazy val numEdges: Long = edges.count()
+
+  /** Weighted in-degree c[j] (the kernel's normalizer). Vertices absent here have
+    * c = 0 and contribute nothing — the reference's zero-guard `where(c!=0,c,1)`
+    * (pagerank.py:173-174) exists only to avoid a 0-division on all-zero columns.
+    */
+  lazy val inDegrees: DataFrame = {
+    val d = edges.groupBy($"dst".as("vid")).agg(sum($"weight").as("deg"))
+    d.persist(StorageLevel.MEMORY_AND_DISK); d.count(); d
+  }
+
+  lazy val outDegrees: DataFrame =
+    edges.groupBy($"src".as("vid")).agg(sum($"weight").as("deg"))
+
+  /** Full per-vertex degree table (zero-filled). Columns: vid, inDeg, outDeg. */
+  lazy val degreeTable: DataFrame = {
+    val t = vertexDict
+      .join(inDegrees.withColumnRenamed("deg", "inDeg"), Seq("vid"), "left")
+      .join(
+        outDegrees.withColumnRenamed("deg", "outDeg").withColumnRenamed("vid", "vid"),
+        Seq("vid"),
+        "left")
+      .select(
+        $"vid",
+        $"extId",
+        coalesce($"inDeg", lit(0.0)).as("inDeg"),
+        coalesce($"outDeg", lit(0.0)).as("outDeg"))
+    t.persist(StorageLevel.MEMORY_AND_DISK)
+    t
+  }
+
+  /** Destination-block adjacency parts with precomputed wNorm = w / c[dst]
+    * (D hoisted out of the loop exactly like pagerank.py:173-174). Cached —
+    * this is the one-time CSC-build analog (pagerank.py:638-640) reused by
+    * every superstep of every algorithm.
+    */
+  lazy val adjParts: Dataset[AdjPart] = {
+    val bs = blockSize
+    val maxEdgesPerPart = LinkGraph.MaxEdgesPerPart
+    val withNorm = edges
+      .join(inDegrees.withColumnRenamed("vid", "dst"), Seq("dst"))
+      .select(
+        $"src",
+        $"dst",
+        ($"weight" / $"deg").as("wNorm"),
+        ($"dst" / lit(bs)).cast("int").as("blockId"))
+    val parts = withNorm
+      .repartition(numBlocks, $"blockId")
+      .sortWithinPartitions($"blockId", $"dst", $"src")
+      .as[(Long, Long, Double, Int)]
+      .mapPartitions { it =>
+        new AdjPartAssembler(it, bs, maxEdgesPerPart)
+      }
+    val cached = parts.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
+
+  def blockOf(vid: Long): Int = (vid / blockSize).toInt
+
+  /** Uniform initial rank chunks x = 1/n (pagerank.py:180). */
+  def uniformChunks(): Dataset[RankChunk] = constantChunks(1.0 / numVertices)
+
+  def constantChunks(v: Double): Dataset[RankChunk] = {
+    val n = numVertices
+    val bs = blockSize
+    spark
+      .range(numBlocks)
+      .as[Long]
+      .map { b =>
+        val lo = b * bs
+        val len = math.min(bs, n - lo).toInt
+        RankChunk(b.toInt, lo, Array.fill(len)(v))
+      }
+  }
+
+  /** Chunked form of an arbitrary per-vertex vector (vid, value); missing vids
+    * get `default`.
+    */
+  def chunksOf(vec: DataFrame, default: Double = 0.0): Dataset[RankChunk] = {
+    val n = numVertices
+    val bs = blockSize
+    val nb = numBlocks
+    vec
+      .select($"vid".cast("long"), $"value".cast("double"))
+      .as[(Long, Double)]
+      .groupByKey { case (vid, _) => (vid / bs).toInt }
+      .mapGroups { (blockId, it) =>
+        val lo = blockId.toLong * bs
+        val len = math.min(bs, n - lo).toInt
+        val arr = Array.fill(len)(default)
+        it.foreach { case (vid, v) => arr((vid - lo).toInt) = v }
+        RankChunk(blockId, lo, arr)
+      }
+      .union(
+        // blocks with no entries still need a chunk of defaults
+        spark.range(nb).as[Long].map { b =>
+          val lo = b * bs
+          val len = math.min(bs, n - lo).toInt
+          RankChunk(b.toInt, lo, Array.fill(len)(default))
+        })
+      .groupByKey(_.blockId)
+      .reduceGroups { (a: RankChunk, b: RankChunk) =>
+        // merge real chunk over default chunk: prefer entries from the non-default
+        // one; identified by reference — the grouped pair has at most one "real".
+        val out = new Array[Double](a.values.length)
+        var i = 0
+        while (i < out.length) {
+          // a and b: one is all-default; sum-minus-default keeps the real value
+          out(i) = a.values(i) + b.values(i) - default
+          i += 1
+        }
+        RankChunk(a.blockId, a.loVid, out)
+      }
+      .map(_._2)
+  }
+
+  /** Explode chunks back to a (vid, value) DataFrame. */
+  def chunksToVertexDf(chunks: Dataset[RankChunk]): DataFrame =
+    chunks
+      .flatMap { c => c.values.iterator.zipWithIndex.map { case (v, i) => (c.loVid + i, v) } }
+      .toDF("vid", "value")
+
+  def unpersistAll(): Unit = {
+    adjParts.unpersist()
+    inDegrees.unpersist()
+    degreeTable.unpersist()
+  }
+}
+
+/** Streaming assembler: turns (src, dst, wNorm, blockId) rows sorted by
+  * (blockId, dst, src) into AdjPart rows without materializing a whole
+  * partition, splitting parts at maxEdgesPerPart (skew salting).
+  */
+private final class AdjPartAssembler(
+    it: Iterator[(Long, Long, Double, Int)],
+    blockSize: Long,
+    maxEdgesPerPart: Int
+) extends Iterator[AdjPart] {
+  private val in = it.buffered
+  private val partSeq = scala.collection.mutable.Map.empty[Int, Int]
+
+  override def hasNext: Boolean = in.hasNext
+
+  override def next(): AdjPart = {
+    val blockId = in.head._4
+    val lo = blockId.toLong * blockSize
+    val dstLocal = new scala.collection.mutable.ArrayBuffer[Int]
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]
+    val srcs = new scala.collection.mutable.ArrayBuffer[Long]
+    val wNorm = new scala.collection.mutable.ArrayBuffer[Double]
+    var lastDst = -1L
+    offsets += 0
+    var n = 0
+    while (in.hasNext && in.head._4 == blockId && n < maxEdgesPerPart) {
+      val (src, dst, w, _) = in.next()
+      if (dst != lastDst) {
+        if (lastDst >= 0) offsets += srcs.length
+        dstLocal += (dst - lo).toInt
+        lastDst = dst
+      }
+      srcs += src
+      wNorm += w
+      n += 1
+    }
+    offsets += srcs.length
+    val seq = partSeq.getOrElse(blockId, 0)
+    partSeq(blockId) = seq + 1
+    AdjPart(blockId, seq, dstLocal.toArray, offsets.toArray, srcs.toArray, wNorm.toArray)
+  }
+}
+
+object LinkGraph {
+  /** Cap on edges per adjacency part — bounds single-task work under skew. */
+  val MaxEdgesPerPart: Int = 2 << 20
+
+  /** Fold duplicates, build the dictionary, remap to dense vids, and block the
+    * adjacency. `rawEdges` must have long columns `src`, `dst` (external ids);
+    * duplicates are summed, weight columns beyond (src,dst) are ignored —
+    * exactly load_graph (pagerank.py:617-640).
+    */
+  def fromEdgeList(
+      spark: SparkSession,
+      rawEdges: DataFrame,
+      numBlocks: Int = 0
+  ): LinkGraph = {
+    import spark.implicits._
+
+    val folded = rawEdges
+      .select($"src".cast("long"), $"dst".cast("long"))
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).cast("double").as("weight"))
+
+    val dict = buildDictionary(spark, folded)
+    dict.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = dict.count()
+
+    val srcDict = dict.toDF("extId", "vid")
+    val remapped = folded
+      .join(srcDict.withColumnRenamed("extId", "src").withColumnRenamed("vid", "srcVid"), Seq("src"))
+      .join(srcDict.withColumnRenamed("extId", "dst").withColumnRenamed("vid", "dstVid"), Seq("dst"))
+      .select($"srcVid".as("src"), $"dstVid".as("dst"), $"weight")
+      .as[Edge]
+
+    val blocks =
+      if (numBlocks > 0) numBlocks
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism * 2, math.max(1L, n / 1024L).toInt))
+    val bs = (n + blocks - 1) / math.max(blocks, 1)
+
+    val edges = remapped.persist(StorageLevel.MEMORY_AND_DISK)
+    new LinkGraph(spark, dict, edges, n, blocks, math.max(bs, 1))
+  }
+
+  /** Same, but edges are already (src, dst, weight) in dense vid space 0..n-1. */
+  def fromDenseWeighted(
+      spark: SparkSession,
+      edges: Dataset[Edge],
+      numVertices: Long,
+      numBlocks: Int = 0
+  ): LinkGraph = {
+    import spark.implicits._
+    val dict = spark.range(numVertices).select($"id".as("extId"), $"id".as("vid")).as[VertexMapping]
+    val blocks =
+      if (numBlocks > 0) numBlocks
+      else math.max(
+        1,
+        math.min(spark.sparkContext.defaultParallelism * 2, math.max(1L, numVertices / 1024L).toInt))
+    val bs = (numVertices + blocks - 1) / math.max(blocks, 1)
+    new LinkGraph(spark, dict, edges.persist(StorageLevel.MEMORY_AND_DISK), numVertices, blocks, math.max(bs, 1))
+  }
+
+  /** Deterministic compacted vertex dictionary: dense vids 0..n-1 in ascending
+    * extId order — the distributed analog of `enumerate(np.unique(edges))`
+    * (pagerank.py:622-627). Two-phase global-sort indexing: range-partition +
+    * sort, count per partition, then offset per-partition row_numbers. Ids
+    * depend only on the global sort order, so the assignment is deterministic
+    * at any parallelism (SURVEY.md §7.3.5).
+    */
+  def buildDictionary(spark: SparkSession, folded: DataFrame): Dataset[VertexMapping] = {
+    import spark.implicits._
+    val ids = folded
+      .select($"src".as("extId"))
+      .union(folded.select($"dst".as("extId")))
+      .distinct()
+    val p = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = ids
+      .repartitionByRange(p, $"extId")
+      .sortWithinPartitions($"extId")
+      .withColumn("pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy($"pid").count().collect().map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = counts.sortBy(_._1).scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+    val offsetByPid = counts.sortBy(_._1).zip(offsets).map { case ((pid, _), (_, off)) => (pid, off) }.toMap
+    val offsetDf = offsetByPid.toSeq.toDF("pid", "offset")
+    val dict = sorted
+      .join(broadcast(offsetDf), Seq("pid"))
+      .withColumn(
+        "vid",
+        row_number().over(Window.partitionBy($"pid").orderBy($"extId")).cast("long") - 1 + $"offset")
+      .select($"extId".cast("long"), $"vid".cast("long"))
+      .as[VertexMapping]
+    dict
+  }
+}

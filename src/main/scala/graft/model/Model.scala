@@ -1,0 +1,122 @@
+package graft.model
+
+/** Core data model for the graft link-graph engine.
+  *
+  * Mirrors the reference's abstractions (see SURVEY.md §1):
+  *   - edge list with duplicate-summing weights (/root/reference/pagerank.py:638-640)
+  *   - compacted vertex dictionary (/root/reference/pagerank.py:622-627)
+  *   - CSC-oriented sparse adjacency (/root/reference/pagerank.py:28) re-expressed as
+  *     partitioned adjacency blocks grouped by destination vertex range.
+  */
+
+/** A directed edge. `weight` is the duplicate-multiplicity weight after the
+  * `groupBy(src,dst).count` fold (scipy csc_matrix sums duplicate COO entries).
+  */
+final case class Edge(src: Long, dst: Long, weight: Double)
+
+/** External-id ↔ dense-id dictionary row (reference: npi_to_index / index_to_npi,
+  * pagerank.py:622-627). Dense vids are 0..n-1, assigned in ascending extId order
+  * (matches `enumerate(np.unique(edges))`).
+  */
+final case class VertexMapping(extId: Long, vid: Long)
+
+/** One part of the adjacency for a destination-vertex block.
+  *
+  * The reference consumes its matrix column-wise: the PageRank update
+  * `x = d*(G @ D @ x) + ...` (pagerank.py:194) sends, for every edge (src, dst),
+  * the mass `x[dst] * w / c[dst]` to `src`, where `c[dst]` is the weighted
+  * in-degree (column sum, pagerank.py:170). We therefore group edges by dst
+  * block so each part only needs the rank chunk of its own block, and
+  * precompute `wNorm = w / c[dst]` once at build time (D is iteration-invariant,
+  * pagerank.py:173-174).
+  *
+  * A block with many edges (skewed / hub destinations) is split into multiple
+  * parts capped at `maxEdgesPerPart` so no single task owns a hub's whole edge
+  * list — the salting strategy required by the north rule.
+  *
+  * Layout: `dstLocal(i)` is a local slot (vid - loVid) with at least one edge;
+  * its outgoing contributions are `srcs(offsets(i) until offsets(i+1))` with
+  * matching `wNorm` entries. `dstLocal` is strictly increasing; `srcs` sorted
+  * within each slot (deterministic iteration order).
+  */
+final case class AdjPart(
+    blockId: Int,
+    partId: Int,
+    dstLocal: Array[Int],
+    offsets: Array[Int],
+    srcs: Array[Long],
+    wNorm: Array[Double]
+)
+
+/** Dense rank-vector chunk aligned with a vertex block: values(i) = x[loVid + i]. */
+final case class RankChunk(blockId: Int, loVid: Long, values: Array[Double])
+
+/** Partial contribution sums scattered from one AdjPart toward a src block. */
+final case class Contrib(blockId: Int, local: Int, value: Double)
+
+/** Which normalization / teleport policy the superstep kernel applies.
+  * One kernel, three config-selected policies (SURVEY.md §7.3.2):
+  */
+sealed trait PageRankMode
+object PageRankMode {
+  /** Reference main kernel (pagerank.py:189-209): uniform teleport scaled by
+    * sum(x_old), renormalize x/sum(x) after each update, residual on the
+    * normalized vectors.
+    */
+  case object ReferenceRenorm extends PageRankMode
+
+  /** Personalized risk propagation (pagerank.py:285-305): teleport = (1-d) * r0
+    * (normalized prior), NO per-iteration renormalization, d defaults 0.95.
+    */
+  case object RiskPropagation extends PageRankMode
+
+  /** Power method with explicit dangling-mass redistribution
+    * (original_pagerank/pagerank.py:105-144): x = p*(G@D)x + e*(z·x) with
+    * z = 1/n - (p/n)·[c != 0]; renormalize only at the end.
+    */
+  case object MolerDangling extends PageRankMode
+}
+
+final case class PageRankConfig(
+    damping: Double = 0.85,
+    tolerance: Double = 1e-8,
+    maxIterations: Int = 1000,
+    mode: PageRankMode = PageRankMode.ReferenceRenorm,
+    /** Personalized teleport prior, a (vid, value) DataFrame; required for
+      * RiskPropagation. Normalized to sum 1 internally (pagerank.py:285).
+      */
+    prior: Option[org.apache.spark.sql.DataFrame] = None,
+    checkpointDir: Option[String] = None,
+    checkpointEvery: Int = 10
+)
+
+/** Mirrors the reference result contract (pagerank.py:41-62). `iterations`
+  * follows the reference's `iteration + 1` convention (pagerank.py:219).
+  */
+final case class PageRankRun(
+    iterations: Int,
+    converged: Boolean,
+    finalError: Double,
+    wallTimeSec: Double,
+    numVertices: Long,
+    numEdges: Long
+)
+
+/** Per-superstep observability row (north rule: rows, bytes shuffled, residual). */
+final case class SuperstepMetrics(
+    superstep: Int,
+    residual: Double,
+    shuffleReadBytes: Long,
+    shuffleWriteBytes: Long,
+    shuffleReadRows: Long,
+    shuffleWriteRows: Long,
+    wallMs: Long
+)
+
+final case class ConvergenceRow(
+    tolerance: Double,
+    iterations: Int,
+    converged: Boolean,
+    finalError: Double,
+    wallTimeSec: Double
+)
