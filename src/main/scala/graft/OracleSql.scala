@@ -1,0 +1,305 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible SparkEntry query, over the same
+  * parquet tables (registered by the driver as `orders`, `lineitem`,
+  * `documents`, `embeddings`, ...). Iterative algorithms are unrolled to a
+  * fixed superstep count k — deterministic and exactly the engine's fixed-k
+  * semantics. All float outputs are rounded identically on both sides; sums
+  * and counts are cast so DuckDB's widened types (HUGEINT) match Spark's.
+  */
+object OracleSql {
+
+  /** Shared prelude: folded weighted edges, vertex set, zero-filled degrees.
+    * Mirrors TestdataGraph + LinkGraph.fromEdgeList (duplicate-summing fold).
+    */
+  val prelude: String =
+    """e AS MATERIALIZED (
+      |  SELECT o_custkey AS src, l_suppkey AS dst, CAST(count(*) AS DOUBLE) AS weight
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2
+      |),
+      |verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+      |indeg AS MATERIALIZED (SELECT dst AS id, sum(weight) AS d FROM e GROUP BY 1),
+      |outdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM e GROUP BY 1),
+      |deg AS MATERIALIZED (
+      |  SELECT v.id, coalesce(i.d, 0.0) AS ind, coalesce(o.d, 0.0) AS outd,
+      |         coalesce(i.d, 0.0) + coalesce(o.d, 0.0) AS totd
+      |  FROM verts v LEFT JOIN indeg i ON i.id = v.id LEFT JOIN outdeg o ON o.id = v.id
+      |)""".stripMargin
+
+  val edges: String =
+    s"""WITH $prelude
+       |SELECT src, dst, weight FROM e ORDER BY src, dst""".stripMargin
+
+  val degrees: String =
+    s"""WITH $prelude
+       |SELECT id, ind AS in_deg, outd AS out_deg FROM deg ORDER BY id""".stripMargin
+
+  val networkMetrics: String =
+    s"""WITH $prelude
+       |SELECT
+       |  CAST((SELECT count(*) FROM verts) AS BIGINT) AS total_providers,
+       |  CAST((SELECT count(*) FROM e) AS BIGINT) AS total_referrals,
+       |  round((SELECT CAST(count(*) AS DOUBLE) FROM e)
+       |        / ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1)), 12) AS network_density,
+       |  round(avg(outd), 6) AS average_referrals_out,
+       |  round(quantile_cont(outd, 0.5), 6) AS median_referrals_out,
+       |  round(stddev_pop(outd), 6) AS std_referrals_out,
+       |  CAST(max(outd) AS BIGINT) AS max_referrals_out,
+       |  round(sum(CASE WHEN outd > (SELECT quantile_cont(outd, 0.9) FROM deg) THEN 1.0 ELSE 0.0 END)
+       |        / (SELECT n FROM nn), 6) AS referral_concentration_out,
+       |  round(avg(ind), 6) AS average_referrals_in,
+       |  round(quantile_cont(ind, 0.5), 6) AS median_referrals_in,
+       |  round(stddev_pop(ind), 6) AS std_referrals_in,
+       |  CAST(max(ind) AS BIGINT) AS max_referrals_in,
+       |  round(sum(CASE WHEN ind > (SELECT quantile_cont(ind, 0.9) FROM deg) THEN 1.0 ELSE 0.0 END)
+       |        / (SELECT n FROM nn), 6) AS referral_concentration_in,
+       |  CAST(sum(CASE WHEN totd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS isolated_providers,
+       |  CAST(sum(CASE WHEN totd > (SELECT quantile_cont(totd, 0.95) FROM deg) THEN 1 ELSE 0 END) AS BIGINT) AS hub_providers,
+       |  round(avg(CASE WHEN ind > 0 THEN outd / (ind + 1e-10) ELSE outd END), 6) AS referral_imbalance_ratio
+       |FROM deg""".stripMargin
+
+  val giniDegree: String =
+    s"""WITH $prelude,
+       |ranked AS MATERIALIZED (
+       |  SELECT totd AS v, CAST(row_number() OVER (ORDER BY totd) AS DOUBLE) AS i FROM deg
+       |)
+       |SELECT round(2.0 * sum(i * v) / (count(*) * sum(v)) - (count(*) + 1.0) / count(*), 6) AS gini
+       |FROM ranked""".stripMargin
+
+  val topDegree: String =
+    s"""WITH $prelude
+       |SELECT id, totd AS total_deg FROM deg ORDER BY totd DESC, id LIMIT 10""".stripMargin
+
+  val histDegree: String =
+    s"""WITH $prelude,
+       |mm AS MATERIALIZED (SELECT min(totd) AS lo, max(totd) AS hi FROM deg),
+       |w AS MATERIALIZED (SELECT CASE WHEN hi > lo THEN (hi - lo) / 30 ELSE 1.0 END AS width, lo, hi FROM mm)
+       |SELECT CAST(least(floor((totd - (SELECT lo FROM w)) / (SELECT width FROM w)), 29) AS BIGINT) AS bin,
+       |       CAST(count(*) AS BIGINT) AS cnt
+       |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val cdfDegree: String =
+    s"""WITH $prelude
+       |SELECT id, totd AS total_deg,
+       |       round(cume_dist() OVER (ORDER BY totd) * 100.0, 6) AS pct_rank
+       |FROM deg ORDER BY id""".stripMargin
+
+  val rankCurveDegree: String =
+    s"""WITH $prelude,
+       |ranked AS MATERIALIZED (
+       |  SELECT totd AS score, row_number() OVER (ORDER BY totd DESC, id) AS rank FROM deg
+       |)
+       |SELECT rank, score FROM ranked
+       |WHERE rank <= 10 OR (rank % 10 = 0 AND rank <= 1000)
+       |ORDER BY rank""".stripMargin
+
+  /** Unrolled reference-mode PageRank: k fixed supersteps of
+    * y = d·(GDx) + ((1-d)/n)·sum(x);  x' = y / sum(y)   (pagerank.py:194-197).
+    */
+  def pagerankUnrolled(k: Int, damping: Double = 0.85, roundTo: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $prelude,\n"
+    sb ++= "x0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS v FROM verts)"
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb ++= s""",
+        |gx$i AS MATERIALIZED (
+        |  SELECT e.src AS id, sum(e.weight / cd.d * xp.v) AS g
+        |  FROM e JOIN indeg cd ON cd.id = e.dst JOIN x$p xp ON xp.id = e.dst
+        |  GROUP BY 1
+        |),
+        |y$i AS MATERIALIZED (
+        |  SELECT v.id,
+        |         $damping * coalesce(g.g, 0.0)
+        |           + ((1.0 - $damping) / (SELECT n FROM nn)) * (SELECT sum(v) FROM x$p) AS y
+        |  FROM verts v LEFT JOIN gx$i g ON g.id = v.id
+        |),
+        |x$i AS MATERIALIZED (SELECT id, y / (SELECT sum(y) FROM y$i) AS v FROM y$i)""".stripMargin
+    }
+    sb ++= s"\nSELECT id, round(v, $roundTo) AS rank FROM x$k ORDER BY id"
+    sb.toString
+  }
+
+  /** Composite-risk prior (pagerank.py:690-713) as CTEs ending in r0 (id, v). */
+  private val compositeRiskCtes: String =
+    """comp AS MATERIALIZED (
+      |  SELECT id,
+      |         0.001
+      |           + (1.0/3) * (CASE WHEN (SELECT max(totd) FROM deg) > 0
+      |                        THEN totd / (SELECT max(totd) FROM deg) ELSE 0.0 END)
+      |           + (1.0/3) * (CASE WHEN (SELECT max(CASE WHEN ind > 0 THEN outd / (ind + 1e-10) ELSE outd END) FROM deg) > 0
+      |                        THEN (CASE WHEN ind > 0 THEN outd / (ind + 1e-10) ELSE outd END)
+      |                             / (SELECT max(CASE WHEN ind > 0 THEN outd / (ind + 1e-10) ELSE outd END) FROM deg)
+      |                        ELSE 0.0 END)
+      |           + (1.0/3) * (CASE WHEN (SELECT max(1.0 / (1.0 + totd)) FROM deg) > 0
+      |                        THEN (1.0 / (1.0 + totd)) / (SELECT max(1.0 / (1.0 + totd)) FROM deg)
+      |                        ELSE 0.0 END) AS raw
+      |  FROM deg
+      |),
+      |r0 AS MATERIALIZED (SELECT id, raw / (SELECT sum(raw) FROM comp) AS v FROM comp)""".stripMargin
+
+  val compositeRisk: String =
+    s"""WITH $prelude,
+       |$compositeRiskCtes
+       |SELECT id, round(v, 9) AS risk FROM r0 ORDER BY id""".stripMargin
+
+  /** Risk-propagation CTEs ending in rk$k (id, v): x' = d·(GDx) + (1-d)·r0,
+    * no renormalization (pagerank.py:297-305), d = 0.95.
+    */
+  private def riskCtes(k: Int, damping: Double = 0.95): String = {
+    val sb = new StringBuilder
+    sb ++= compositeRiskCtes
+    sb ++= ",\nrk0 AS MATERIALIZED (SELECT id, v FROM r0)"
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb ++= s""",
+        |rgx$i AS MATERIALIZED (
+        |  SELECT e.src AS id, sum(e.weight / cd.d * xp.v) AS g
+        |  FROM e JOIN indeg cd ON cd.id = e.dst JOIN rk$p xp ON xp.id = e.dst
+        |  GROUP BY 1
+        |),
+        |rk$i AS MATERIALIZED (
+        |  SELECT v.id, $damping * coalesce(g.g, 0.0) + (1.0 - $damping) * r.v AS v
+        |  FROM verts v LEFT JOIN rgx$i g ON g.id = v.id JOIN r0 r ON r.id = v.id
+        |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  def riskUnrolled(k: Int): String =
+    s"""WITH $prelude,
+       |${riskCtes(k)}
+       |SELECT id, round(v, 9) AS risk FROM rk$k ORDER BY id""".stripMargin
+
+  def riskStats(k: Int): String =
+    s"""WITH $prelude,
+       |${riskCtes(k)},
+       |xr AS MATERIALIZED (
+       |  SELECT x.id, x.v AS x, r.v AS r0v,
+       |         CASE WHEN r.v > 0 THEN x.v / r.v ELSE 1.0 END AS amp
+       |  FROM rk$k x JOIN r0 r ON r.id = x.id
+       |)
+       |SELECT
+       |  round(avg(x), 9) AS mean_risk,
+       |  round(quantile_cont(x, 0.5), 9) AS median_risk,
+       |  round(stddev_pop(x), 9) AS std_risk,
+       |  round(max(x), 9) AS max_risk,
+       |  round(min(x), 9) AS min_risk,
+       |  round(sum(CASE WHEN x > (SELECT quantile_cont(x, 0.9) FROM xr) THEN x ELSE 0.0 END) / sum(x), 6) AS risk_concentration_90,
+       |  round(sum(CASE WHEN x > (SELECT quantile_cont(x, 0.95) FROM xr) THEN x ELSE 0.0 END) / sum(x), 6) AS risk_concentration_95,
+       |  round(sum(CASE WHEN x > (SELECT quantile_cont(x, 0.99) FROM xr) THEN x ELSE 0.0 END) / sum(x), 6) AS risk_concentration_99,
+       |  round(quantile_cont(x, 0.95), 9) AS var_95,
+       |  round(quantile_cont(x, 0.99), 9) AS var_99,
+       |  round(avg(CASE WHEN x >= (SELECT quantile_cont(x, 0.95) FROM xr) THEN x END), 9) AS expected_shortfall_95,
+       |  round(avg(CASE WHEN x >= (SELECT quantile_cont(x, 0.99) FROM xr) THEN x END), 9) AS expected_shortfall_99,
+       |  round(avg(amp), 6) AS mean_amplification,
+       |  round(max(amp), 6) AS max_amplification,
+       |  CAST(sum(CASE WHEN x > (SELECT quantile_cont(x, 0.9) FROM xr) THEN 1 ELSE 0 END) AS BIGINT) AS high_risk_count,
+       |  CAST(sum(CASE WHEN x > (SELECT quantile_cont(x, 0.99) FROM xr) THEN 1 ELSE 0 END) AS BIGINT) AS extreme_risk_count,
+       |  round((SELECT quantile_cont(x, 0.9) FROM xr), 9) AS risk_threshold_90,
+       |  round((SELECT quantile_cont(x, 0.95) FROM xr), 9) AS risk_threshold_95,
+       |  round((SELECT quantile_cont(x, 0.99) FROM xr), 9) AS risk_threshold_99
+       |FROM xr""".stripMargin
+
+  /** Connected components: min-label transitive closure over the undirected
+    * graph (fixpoint of the engine's min-label propagation).
+    */
+  val connectedComponents: String =
+    s"""WITH RECURSIVE $prelude,
+       |und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
+       |)
+       |SELECT id, CAST(min(lbl) AS BIGINT) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** Synchronous LPA, k unrolled rounds: weighted neighbor-label mode, ties →
+    * smallest label, isolated vertices keep their label.
+    */
+  def lpaUnrolled(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $prelude,\n"
+    sb ++=
+      """eb AS MATERIALIZED (
+        |  SELECT src, dst, CAST(sum(weight) AS DOUBLE) AS weight FROM (
+        |    SELECT src, dst, weight FROM e
+        |    UNION ALL
+        |    SELECT dst AS src, src AS dst, weight FROM e
+        |  ) GROUP BY 1, 2
+        |),
+        |lab0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)""".stripMargin
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb ++= s""",
+        |votes$i AS MATERIALIZED (
+        |  SELECT eb.dst AS id, l.lbl AS lbl, sum(eb.weight) AS w
+        |  FROM eb JOIN lab$p l ON l.id = eb.src GROUP BY 1, 2
+        |),
+        |best$i AS MATERIALIZED (
+        |  SELECT id, lbl FROM (
+        |    SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY w DESC, lbl ASC) AS rn
+        |    FROM votes$i
+        |  ) WHERE rn = 1
+        |),
+        |lab$i AS MATERIALIZED (
+        |  SELECT v.id, coalesce(b.lbl, l.lbl) AS lbl
+        |  FROM verts v LEFT JOIN best$i b ON b.id = v.id JOIN lab$p l ON l.id = v.id
+        |)""".stripMargin
+    }
+    sb ++= s"\nSELECT id, CAST(lbl AS BIGINT) AS label FROM lab$k ORDER BY id"
+    sb.toString
+  }
+
+  /** Degree-ordered triangle listing shared CTEs, ending in `tri` (a,b,c). */
+  private val triangleCtes: String =
+    """und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e WHERE src <> dst
+      |),
+      |ud AS MATERIALIZED (
+      |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+      |    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+      |  ) GROUP BY 1
+      |),
+      |ori AS MATERIALIZED (
+      |  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v) THEN und.u ELSE und.v END AS x,
+      |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v) THEN und.v ELSE und.u END AS y
+      |  FROM und JOIN ud du ON du.id = und.u JOIN ud dv ON dv.id = und.v
+      |),
+      |wedge AS MATERIALIZED (
+      |  SELECT o1.x AS a, o1.y AS b, o2.y AS c
+      |  FROM ori o1 JOIN ori o2 ON o1.x = o2.x AND o1.y < o2.y
+      |),
+      |tri AS MATERIALIZED (
+      |  SELECT w.a, w.b, w.c FROM wedge w
+      |  JOIN und cl ON cl.u = least(w.b, w.c) AND cl.v = greatest(w.b, w.c)
+      |)""".stripMargin
+
+  val trianglesPerVertex: String =
+    s"""WITH $prelude,
+       |$triangleCtes,
+       |corners AS MATERIALIZED (
+       |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+       |),
+       |cnts AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY 1)
+       |SELECT v.id, coalesce(c.triangles, 0) AS triangles
+       |FROM verts v LEFT JOIN cnts c ON c.id = v.id ORDER BY v.id""".stripMargin
+
+  val clusteringCoefficients: String =
+    s"""WITH $prelude,
+       |$triangleCtes,
+       |corners AS MATERIALIZED (
+       |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+       |),
+       |cnts AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY 1)
+       |SELECT v.id,
+       |       coalesce(c.triangles, 0) AS triangles,
+       |       coalesce(u.d, 0) AS deg,
+       |       round(CASE WHEN coalesce(u.d, 0) >= 2
+       |             THEN 2.0 * coalesce(c.triangles, 0) / (u.d * (u.d - 1))
+       |             ELSE 0.0 END, 6) AS clustering_coeff
+       |FROM verts v LEFT JOIN cnts c ON c.id = v.id LEFT JOIN ud u ON u.id = v.id
+       |ORDER BY v.id""".stripMargin
+}

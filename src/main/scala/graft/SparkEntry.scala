@@ -1,13 +1,221 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.analytics.NetworkAnalytics
+import graft.graph.LinkGraph
+import graft.sources.TestdataGraph
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2) plus a
+  * DuckDB oracle for every SQL-expressible one. Column names, rounding, and
+  * orderings match [[OracleSql]] exactly — the driver hash-compares values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: end-to-end pipeline on sf0.001 — fold edges, converge
+    * reference-mode PageRank, emit the top-10 ranked vertices.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val g = TestdataGraph.graph(spark, "/root/testdata/sf0.001")
+    val out = PageRank.run(g, damping = 0.85, tolerance = 1e-8)
+    TestdataGraph
+      .withExtId(g, out.toVertexDf(g))
+      .select($"extId".as("id"), round($"value", 8).as("rank"))
+      .orderBy($"rank".desc, $"id")
+      .limit(10)
+  }
+
+  private def g(s: SparkSession, dir: String): LinkGraph = TestdataGraph.graph(s, dir)
+
+  /** Engine run at fixed k, output (id, rank) rounded like the oracle. */
+  private def pagerankK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val graph = g(s, dir)
+    val out = PageRank.run(graph, damping = 0.85, tolerance = 0.0, maxIterations = k)
+    TestdataGraph
+      .withExtId(graph, out.toVertexDf(graph))
+      .select($"extId".as("id"), round($"value", 8).as("rank"))
+      .orderBy($"id")
+  }
+
+  private def riskK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val graph = g(s, dir)
+    val prior = NetworkAnalytics.compositeRisk(graph)
+    val out = PageRank.propagateRisk(graph, prior, damping = 0.95, tolerance = 0.0, maxIterations = k)
+    TestdataGraph
+      .withExtId(graph, out.toVertexDf(graph))
+      .select($"extId".as("id"), round($"value", 9).as("risk"))
+      .orderBy($"id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edges" -> { (s, dir) =>
+      import s.implicits._
+      g(s, dir).edges.toDF()
+        .join(g(s, dir).vertexDict.toDF("srcId", "src_v"), $"src" === $"src_v")
+        .join(g(s, dir).vertexDict.toDF("dstId", "dst_v"), $"dst" === $"dst_v")
+        .select($"srcId".as("src"), $"dstId".as("dst"), $"weight")
+        .orderBy($"src", $"dst")
+    },
+    "q_degrees" -> { (s, dir) =>
+      import s.implicits._
+      g(s, dir).degreeTable
+        .select($"extId".as("id"), $"inDeg".as("in_deg"), $"outDeg".as("out_deg"))
+        .orderBy($"id")
+    },
+    "q_network_metrics" -> { (s, dir) =>
+      import s.implicits._
+      NetworkAnalytics.networkMetrics(g(s, dir)).select(
+        $"total_providers",
+        $"total_referrals",
+        round($"network_density", 12).as("network_density"),
+        round($"average_referrals_out", 6).as("average_referrals_out"),
+        round($"median_referrals_out", 6).as("median_referrals_out"),
+        round($"std_referrals_out", 6).as("std_referrals_out"),
+        $"max_referrals_out",
+        round($"referral_concentration_out", 6).as("referral_concentration_out"),
+        round($"average_referrals_in", 6).as("average_referrals_in"),
+        round($"median_referrals_in", 6).as("median_referrals_in"),
+        round($"std_referrals_in", 6).as("std_referrals_in"),
+        $"max_referrals_in",
+        round($"referral_concentration_in", 6).as("referral_concentration_in"),
+        $"isolated_providers",
+        $"hub_providers",
+        round($"referral_imbalance_ratio", 6).as("referral_imbalance_ratio"))
+    },
+    "q_gini_degree" -> { (s, dir) =>
+      import s.implicits._
+      val deg = g(s, dir).degreeTable.withColumn("totalDeg", $"inDeg" + $"outDeg")
+      NetworkAnalytics.gini(deg, "totalDeg").select(round($"gini", 6).as("gini"))
+    },
+    "q_top_degree" -> { (s, dir) =>
+      import s.implicits._
+      g(s, dir).degreeTable
+        .select($"extId".as("id"), ($"inDeg" + $"outDeg").as("total_deg"))
+        .orderBy($"total_deg".desc, $"id")
+        .limit(10)
+    },
+    "q_hist_degree" -> { (s, dir) =>
+      import s.implicits._
+      val deg = g(s, dir).degreeTable.select(($"inDeg" + $"outDeg").as("totalDeg"))
+      NetworkAnalytics.histogram(deg, "totalDeg", 30).select($"bin", $"cnt").orderBy($"bin")
+    },
+    "q_cdf_degree" -> { (s, dir) =>
+      import s.implicits._
+      val deg = g(s, dir).degreeTable
+        .select($"extId".as("id"), ($"inDeg" + $"outDeg").as("total_deg"))
+      NetworkAnalytics.percentileRank(deg, "total_deg")
+        .select($"id", $"total_deg", round($"pct_rank", 6).as("pct_rank"))
+        .orderBy($"id")
+    },
+    "q_rank_curve_degree" -> { (s, dir) =>
+      import s.implicits._
+      val deg = g(s, dir).degreeTable
+        .select($"vid", ($"inDeg" + $"outDeg").as("score"))
+      NetworkAnalytics.rankCurve(deg, "score", top = 10, step = 10, limit = 100)
+        .orderBy($"rank")
+    },
+    "q_pagerank_k8" -> { (s, dir) => pagerankK(s, dir, 8) },
+    "q_composite_risk" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      TestdataGraph.withExtId(graph, NetworkAnalytics.compositeRisk(graph))
+        .select($"extId".as("id"), round($"value", 9).as("risk"))
+        .orderBy($"id")
+    },
+    "q_risk_k6" -> { (s, dir) => riskK(s, dir, 6) },
+    "q_risk_stats_k6" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      val prior = NetworkAnalytics.compositeRisk(graph)
+      val out = PageRank.propagateRisk(graph, prior, damping = 0.95, tolerance = 0.0, maxIterations = 6)
+      NetworkAnalytics.riskStatistics(out.toVertexDf(graph), prior).select(
+        round($"mean_risk", 9).as("mean_risk"),
+        round($"median_risk", 9).as("median_risk"),
+        round($"std_risk", 9).as("std_risk"),
+        round($"max_risk", 9).as("max_risk"),
+        round($"min_risk", 9).as("min_risk"),
+        round($"risk_concentration_90", 6).as("risk_concentration_90"),
+        round($"risk_concentration_95", 6).as("risk_concentration_95"),
+        round($"risk_concentration_99", 6).as("risk_concentration_99"),
+        round($"var_95", 9).as("var_95"),
+        round($"var_99", 9).as("var_99"),
+        round($"expected_shortfall_95", 9).as("expected_shortfall_95"),
+        round($"expected_shortfall_99", 9).as("expected_shortfall_99"),
+        round($"mean_amplification", 6).as("mean_amplification"),
+        round($"max_amplification", 6).as("max_amplification"),
+        $"high_risk_count",
+        $"extreme_risk_count",
+        round($"risk_threshold_90", 9).as("risk_threshold_90"),
+        round($"risk_threshold_95", 9).as("risk_threshold_95"),
+        round($"risk_threshold_99", 9).as("risk_threshold_99"))
+    },
+    "q_cc" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      val labels = ConnectedComponents.run(graph)
+      // canonical label = min vid of the component; map both sides to extId
+      labels
+        .join(graph.vertexDict.toDF("id", "v1"), $"vid" === $"v1")
+        .join(graph.vertexDict.toDF("component", "v2"), $"label" === $"v2")
+        .select($"id", $"component")
+        .orderBy($"id")
+    },
+    "q_lpa_k4" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      val labels = LabelPropagation.run(graph, iterations = 4)
+      labels
+        .join(graph.vertexDict.toDF("id", "v1"), $"vid" === $"v1")
+        .join(graph.vertexDict.toDF("label_ext", "v2"), $"label" === $"v2")
+        .select($"id", $"label_ext".as("label"))
+        .orderBy($"id")
+    },
+    "q_triangles" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      TestdataGraph.withExtId(graph, TriangleCount.perVertexTriangles(graph))
+        .select($"extId".as("id"), $"triangles")
+        .orderBy($"id")
+    },
+    "q_clustering" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      TestdataGraph.withExtId(graph, TriangleCount.clusteringCoefficients(graph))
+        .select($"extId".as("id"), $"triangles", $"deg",
+          round($"clustering_coeff", 6).as("clustering_coeff"))
+        .orderBy($"id")
+    },
+    // convergence sweep is tolerance-driven (not SQL-expressible): rows-only check
+    "q_convergence_sweep" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      PageRank.convergenceSweep(graph, Seq(1e-4, 1e-6, 1e-8))
+        .map(r => (r.tolerance, r.iterations, r.converged))
+        .toDF("tolerance", "iterations", "converged")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_edges" -> OracleSql.edges,
+    "q_degrees" -> OracleSql.degrees,
+    "q_network_metrics" -> OracleSql.networkMetrics,
+    "q_gini_degree" -> OracleSql.giniDegree,
+    "q_top_degree" -> OracleSql.topDegree,
+    "q_hist_degree" -> OracleSql.histDegree,
+    "q_cdf_degree" -> OracleSql.cdfDegree,
+    "q_rank_curve_degree" -> OracleSql.rankCurveDegree,
+    "q_pagerank_k8" -> OracleSql.pagerankUnrolled(8),
+    "q_composite_risk" -> OracleSql.compositeRisk,
+    "q_risk_k6" -> OracleSql.riskUnrolled(6),
+    "q_risk_stats_k6" -> OracleSql.riskStats(6),
+    "q_cc" -> OracleSql.connectedComponents,
+    "q_lpa_k4" -> OracleSql.lpaUnrolled(4),
+    "q_triangles" -> OracleSql.trianglesPerVertex,
+    "q_clustering" -> OracleSql.clusteringCoefficients
+  )
 }
