@@ -302,4 +302,155 @@ object OracleSql {
        |             ELSE 0.0 END, 6) AS clustering_coeff
        |FROM verts v LEFT JOIN cnts c ON c.id = v.id LEFT JOIN ud u ON u.id = v.id
        |ORDER BY v.id""".stripMargin
+
+  // ------------------------------------------------------------------ documents
+
+  /** Word-bigram shingle CTEs over documents: dsh (doc_id, sh), dsizes. */
+  private val shingleCtes: String =
+    """docs AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      |dsh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS sh
+      |  FROM docs, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      |),
+      |dsizes AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY 1)""".stripMargin
+
+  val dedupExact: String =
+    """SELECT doc_id,
+      |       min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+      |       CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS cluster_size
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def jaccardPairs(threshold: Double): String =
+    s"""WITH $shingleCtes,
+       |inter AS MATERIALIZED (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |FROM inter JOIN dsizes sa ON sa.doc_id = a JOIN dsizes sb ON sb.doc_id = b
+       |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  val langId: String = {
+    val markers = Seq(
+      "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+      "de" -> Seq(" der ", " und ", " die ", " das ", " ist "),
+      "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
+      "es" -> Seq(" el ", " la ", " los ", " que ", " es "))
+    val scoreExprs = markers.map { case (lg, ms) =>
+      val terms = ms.map(m =>
+        s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}").mkString(" + ")
+      s"CAST($terms AS BIGINT) AS score_$lg"
+    }.mkString(",\n       ")
+    s"""WITH padded AS MATERIALIZED (
+       |  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+       |),
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id,
+       |       ${scoreExprs}
+       |  FROM padded
+       |)
+       |SELECT doc_id, score_en, score_de, score_fr, score_es,
+       |       CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+       |            WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+       |            WHEN score_de > score_en AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+       |            WHEN score_fr > score_en AND score_fr > score_de AND score_fr >= score_es THEN 'fr'
+       |            ELSE 'es' END AS lang_guess
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  val quality: String =
+    """WITH q AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         CAST(length(text) AS DOUBLE) AS nc,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+      |         CAST(length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')) AS DOUBLE) AS np,
+      |         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS nd,
+      |         CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+      |            + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+      |            + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+      |            + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4
+      |            + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
+      |            + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' in ', ''))) / 4 AS DOUBLE) AS stop
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(nc AS BIGINT) AS n_chars,
+      |       CAST(nw AS BIGINT) AS n_words,
+      |       round(CASE WHEN nw > 0 THEN nc / nw ELSE 0.0 END, 6) AS avg_word_len,
+      |       round(CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END, 6) AS punct_ratio,
+      |       round(CASE WHEN nc > 0 THEN nd / nc ELSE 0.0 END, 6) AS digit_ratio,
+      |       round(CASE WHEN nw > 0 THEN stop / nw ELSE 0.0 END, 6) AS stopword_ratio,
+      |       round(least(1.0, greatest(0.0,
+      |         0.3 * least(nw / 100.0, 1.0)
+      |           + 0.4 * least((CASE WHEN nw > 0 THEN stop / nw ELSE 0.0 END) * 5.0, 1.0)
+      |           + 0.3 * (1.0 - least((CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) * 5.0, 1.0)))), 6) AS quality_score
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  val tokenCounts: String =
+    """SELECT doc_id,
+      |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val fingerprint: String =
+    """WITH norm AS MATERIALIZED (
+      |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents
+      |)
+      |SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(generate_series(1, length(t)),
+      |                          i -> CAST(ord(substr(t, i, 1)) AS BIGINT))),
+      |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM norm ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ embeddings
+
+  /** Exploded double-precision embedding values: ev (vec_id, i, v). */
+  private val embCtes: String =
+    """ev AS MATERIALIZED (
+      |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      |),
+      |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY 1)""".stripMargin
+
+  def embeddingPairs(threshold: Double): String =
+    s"""WITH $embCtes,
+       |dots AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
+       |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+       |WHERE round(dot / (na.nrm * nb.nrm), 6) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  def knnBrute(k: Int, numQueries: Int): String =
+    s"""WITH $embCtes,
+       |dots AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+       |  FROM ev q JOIN ev c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $numQueries
+       |  GROUP BY 1, 2
+       |),
+       |scored AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+       |  FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms nc ON nc.vec_id = neighbor_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  val mediaMeta: String =
+    """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      |FROM documents ORDER BY media_id""".stripMargin
+
 }

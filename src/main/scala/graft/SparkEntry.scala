@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
 import graft.analytics.NetworkAnalytics
 import graft.graph.LinkGraph
+import graft.multimodal.Multimodal
+import graft.sim.Ann
 import graft.sources.TestdataGraph
+import graft.text.{Dedup, TextAnalytics}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2) plus a
   * DuckDB oracle for every SQL-expressible one. Column names, rounding, and
@@ -197,8 +200,101 @@ object SparkEntry {
       PageRank.convergenceSweep(graph, Seq(1e-4, 1e-6, 1e-8))
         .map(r => (r.tolerance, r.iterations, r.converged))
         .toDF("tolerance", "iterations", "converged")
+    },
+    // ---- documents: dedup + text analysis ----
+    "q_dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.exactClusters(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+    },
+    "q_jaccard_pairs" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
+        .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"a", $"b")
+    },
+    "q_minhash_lsh" -> { (s, dir) => // xxhash64 signatures: no DuckDB twin — rows-only
+      import s.implicits._
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
+        .orderBy($"a", $"b")
+    },
+    "q_simhash_pairs" -> { (s, dir) => // rows-only
+      import s.implicits._
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6).orderBy($"a", $"b")
+    },
+    "q_langid" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalytics.languageId(docs(s, dir), "text")
+        .select($"doc_id", $"score_en", $"score_de", $"score_fr", $"score_es", $"lang_guess")
+        .orderBy($"doc_id")
+    },
+    "q_quality" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalytics.qualitySignals(docs(s, dir), "text")
+        .select($"doc_id", $"n_chars", $"n_words",
+          round($"avg_word_len", 6).as("avg_word_len"),
+          round($"punct_ratio", 6).as("punct_ratio"),
+          round($"digit_ratio", 6).as("digit_ratio"),
+          round($"stopword_ratio", 6).as("stopword_ratio"),
+          round($"quality_score", 6).as("quality_score"))
+        .orderBy($"doc_id")
+    },
+    "q_token_counts" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalytics.tokenCounts(docs(s, dir), "text")
+        .select($"doc_id", $"ws_tokens", $"bpeish_tokens")
+        .orderBy($"doc_id")
+    },
+    "q_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalytics.fingerprints(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+    },
+    // ---- embeddings: similarity search ----
+    "q_embedding_pairs" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.embeddingPairs(emb(s, dir).select($"vec_id".as("id"), $"embedding".as("vec")),
+          "id", "vec", threshold = 0.0)
+        .select($"a", $"b", round($"cosine", 6).as("cosine"))
+        .filter(round($"cosine", 6) >= 0.4)
+        .orderBy($"a", $"b")
+    },
+    "q_knn_brute" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = emb(s, dir).select($"vec_id".as("id"), $"embedding".as("vec"))
+      val queries = emb(s, dir).filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Ann.bruteForceTopK(corpus, queries, k = 5)
+        .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank".cast("long").as("rank"))
+        .orderBy($"query_id", $"rank")
+    },
+    "q_ann_lsh" -> { (s, dir) => // seeded-hyperplane buckets: rows-only
+      import s.implicits._
+      val corpus = emb(s, dir).select($"vec_id".as("id"), $"embedding".as("vec"))
+      val queries = emb(s, dir).filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Ann.lshTopK(corpus, queries, k = 5, dim = 64).orderBy($"query_id", $"rank")
+    },
+    // ---- multimodal plumbing ----
+    "q_media_meta" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.decodeFeatures(media).toDF()
+        .select($"media_id", $"byte_len")
+        .orderBy($"media_id")
+    },
+    "q_media_features" -> { (s, dir) => // fake-decoder features: rows-only
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.decodeFeatures(media).toDF()
+        .select($"media_id", $"media_type", $"byte_len", $"width", $"height", $"n_frames")
+        .orderBy($"media_id")
     }
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   def oracleSql: Map[String, String] = Map(
     "q_edges" -> OracleSql.edges,
@@ -216,6 +312,15 @@ object SparkEntry {
     "q_cc" -> OracleSql.connectedComponents,
     "q_lpa_k4" -> OracleSql.lpaUnrolled(4),
     "q_triangles" -> OracleSql.trianglesPerVertex,
-    "q_clustering" -> OracleSql.clusteringCoefficients
+    "q_clustering" -> OracleSql.clusteringCoefficients,
+    "q_dedup_exact" -> OracleSql.dedupExact,
+    "q_jaccard_pairs" -> OracleSql.jaccardPairs(0.5),
+    "q_langid" -> OracleSql.langId,
+    "q_quality" -> OracleSql.quality,
+    "q_token_counts" -> OracleSql.tokenCounts,
+    "q_fingerprint" -> OracleSql.fingerprint,
+    "q_embedding_pairs" -> OracleSql.embeddingPairs(0.4),
+    "q_knn_brute" -> OracleSql.knnBrute(5, 10),
+    "q_media_meta" -> OracleSql.mediaMeta
   )
 }

@@ -136,7 +136,8 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     // stable per-superstep plans & partitioning inside the loop (SURVEY §4.2.4)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    graph.adjParts // force build+cache before timing supersteps
+    // force build+cache of the regime's adjacency layout before timing
+    if (driverResident) graph.gatherPartsRdd else graph.adjParts
     try {
       if (driverResident) runResident(start, startIter, t0, listener)
       else runDistributed(start, startIter, t0, listener)
@@ -198,26 +199,29 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
       val iterT0 = System.nanoTime()
       listener.snapshot()
 
-      // one job: broadcast x, scatter-gather over cached adjacency, collect contribs
+      // one shuffle-free job: broadcast x; each src-major part GATHERS its own
+      // output slice (gx[i] = Σ wNorm · x[dst]) — tasks never share output, so
+      // there is no cross-task combine stage at all; the driver adds the
+      // (block-aligned, possibly split) slices into gx. Collect volume = n
+      // doubles total, independent of parallelism.
       val bcast: Broadcast[Array[Double]] = sc.broadcast(x)
-      val contribChunks = graph.adjParts
-        .flatMap { part =>
+      val slices = graph.gatherPartsRdd
+        .map { part =>
           val xs = bcast.value
           val lo = part.blockId.toLong * bs
-          PageRankEngine.scatter(part, i => xs((lo + i).toInt), bs)
-        }
-        .groupByKey(_.blockId)
-        .mapGroups { (blockId, it) =>
-          val lo = blockId.toLong * bs
           val len = math.min(bs, nv - lo).toInt
-          val arr = new Array[Double](len)
-          it.foreach(c => arr(c.local) += c.value)
-          RankChunk(blockId, lo, arr)
+          val out = new Array[Double](len)
+          PageRankEngine.gatherSlice(part, xs, out)
+          RankChunk(part.blockId, lo, out)
         }
         .collect()
       bcast.destroy()
       val gx = new Array[Double](n.toInt)
-      contribChunks.foreach(c => System.arraycopy(c.values, 0, gx, c.loVid.toInt, c.values.length))
+      slices.foreach { s =>
+        var i = 0
+        val base = s.loVid.toInt
+        while (i < s.values.length) { gx(base + i) += s.values(i); i += 1 }
+      }
 
       // driver-side update in the reference's exact operation order
       val xOld = x
@@ -466,25 +470,48 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
 }
 
 object PageRankEngine {
-  /** Below this rank-vector size the vector-resident regime is used. */
-  var BroadcastThresholdBytes: Long = 256L * 1024 * 1024
+  /** Below this rank-vector size the vector-resident regime is used. Bounded
+    * by per-task dense-scatter memory: every concurrent task holds one
+    * n-double accumulator, so cores × threshold must fit the executor heap.
+    */
+  var BroadcastThresholdBytes: Long = 64L * 1024 * 1024
 
   /** Per-superstep stderr progress (env GRAFT_DEBUG). */
   val debug: Boolean = sys.env.contains("GRAFT_DEBUG")
 
-  /** Scatter one adjacency part: for each local dst slot with x != 0, add
-    * wNorm * x[dst] to every src; pre-combined in an open-address map.
+  /** Gather one src-major part (resident regime): out[srcLocal] = Σ over its
+    * edges of wNorm · x[dst] — sequential writes, the JVM twin of SciPy's C
+    * matvec inner loop (pagerank.py:194).
+    */
+  private[engine] def gatherSlice(part: AdjPart, xs: Array[Double], out: Array[Double]): Unit = {
+    var i = 0
+    while (i < part.keys.length) {
+      var s = 0.0
+      var j = part.offsets(i)
+      val end = part.offsets(i + 1)
+      while (j < end) {
+        s += part.wNorm(j) * xs(part.adj(j).toInt)
+        j += 1
+      }
+      out(part.keys(i)) += s // += — a key's edges may straddle split parts
+      i += 1
+    }
+  }
+
+  /** Scatter one dst-major part (distributed regime): for each local dst slot
+    * with x != 0, add wNorm * x[dst] to every src; pre-combined in an
+    * open-address map.
     */
   private[engine] def scatter(part: AdjPart, xAt: Int => Double, blockSize: Long): Iterator[Contrib] = {
-    val map = new LongDoubleMap(math.min(part.srcs.length * 2 + 8, 1 << 22))
+    val map = new LongDoubleMap(math.min(part.adj.length * 2 + 8, 1 << 22))
     var i = 0
-    while (i < part.dstLocal.length) {
-      val xv = xAt(part.dstLocal(i))
+    while (i < part.keys.length) {
+      val xv = xAt(part.keys(i))
       if (xv != 0.0) {
         var j = part.offsets(i)
         val end = part.offsets(i + 1)
         while (j < end) {
-          map.add(part.srcs(j), part.wNorm(j) * xv)
+          map.add(part.adj(j), part.wNorm(j) * xv)
           j += 1
         }
       }

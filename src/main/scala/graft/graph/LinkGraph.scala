@@ -59,31 +59,50 @@ final class LinkGraph(
     t
   }
 
-  /** Destination-block adjacency parts with precomputed wNorm = w / c[dst]
-    * (D hoisted out of the loop exactly like pagerank.py:173-174). Cached —
-    * this is the one-time CSC-build analog (pagerank.py:638-640) reused by
-    * every superstep of every algorithm.
+  /** Blocked adjacency with precomputed wNorm = w / c[dst] (D hoisted out of
+    * the loop exactly like pagerank.py:173-174) — the one-time sparse-build
+    * analog of pagerank.py:638-640, cached and reused by every superstep.
+    * Key column selects the orientation: dst-major (scatter, distributed
+    * regime) or src-major (gather, vector-resident regime).
     */
-  lazy val adjParts: Dataset[AdjPart] = {
+  private def buildParts(keyCol: String, otherCol: String): Dataset[AdjPart] = {
     val bs = blockSize
     val maxEdgesPerPart = LinkGraph.MaxEdgesPerPart
     val withNorm = edges
       .join(inDegrees.withColumnRenamed("vid", "dst"), Seq("dst"))
       .select(
-        $"src",
-        $"dst",
+        col(keyCol).as("key"),
+        col(otherCol).as("other"),
         ($"weight" / $"deg").as("wNorm"),
-        ($"dst" / lit(bs)).cast("int").as("blockId"))
-    val parts = withNorm
+        (col(keyCol) / lit(bs)).cast("int").as("blockId"))
+    withNorm
       .repartition(numBlocks, $"blockId")
-      .sortWithinPartitions($"blockId", $"dst", $"src")
+      .sortWithinPartitions($"blockId", $"key", $"other")
+      .select($"key", $"other", $"wNorm", $"blockId")
       .as[(Long, Long, Double, Int)]
       .mapPartitions { it =>
         new AdjPartAssembler(it, bs, maxEdgesPerPart)
       }
-    val cached = parts.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** dst-major (CSC-like) parts: keys = dst slots, adj = srcs. Columnar cache
+    * (joined per superstep by the distributed regime).
+    */
+  lazy val adjParts: Dataset[AdjPart] = {
+    val cached = buildParts("dst", "src").persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
     cached
+  }
+
+  /** src-major (CSR-like) parts: keys = src slots, adj = dsts — persisted as a
+    * DESERIALIZED object RDD: the resident-regime kernel scans it every
+    * superstep, and re-inflating 16B/edge arrays from a columnar cache each
+    * iteration costs hundreds of MB of allocation + GC per superstep.
+    */
+  lazy val gatherPartsRdd: org.apache.spark.rdd.RDD[AdjPart] = {
+    val rdd = buildParts("src", "dst").rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    rdd
   }
 
   def blockOf(vid: Long): Int = (vid / blockSize).toInt
@@ -153,13 +172,16 @@ final class LinkGraph(
 
   def unpersistAll(): Unit = {
     adjParts.unpersist()
+    gatherPartsRdd.unpersist()
     inDegrees.unpersist()
     degreeTable.unpersist()
+    edges.unpersist()
+    vertexDict.unpersist()
   }
 }
 
-/** Streaming assembler: turns (src, dst, wNorm, blockId) rows sorted by
-  * (blockId, dst, src) into AdjPart rows without materializing a whole
+/** Streaming assembler: turns (key, other, wNorm, blockId) rows sorted by
+  * (blockId, key, other) into AdjPart rows without materializing a whole
   * partition, splitting parts at maxEdgesPerPart (skew salting).
   */
 private final class AdjPartAssembler(
@@ -175,28 +197,28 @@ private final class AdjPartAssembler(
   override def next(): AdjPart = {
     val blockId = in.head._4
     val lo = blockId.toLong * blockSize
-    val dstLocal = new scala.collection.mutable.ArrayBuffer[Int]
+    val keys = new scala.collection.mutable.ArrayBuffer[Int]
     val offsets = new scala.collection.mutable.ArrayBuffer[Int]
-    val srcs = new scala.collection.mutable.ArrayBuffer[Long]
+    val adj = new scala.collection.mutable.ArrayBuffer[Long]
     val wNorm = new scala.collection.mutable.ArrayBuffer[Double]
-    var lastDst = -1L
+    var lastKey = -1L
     offsets += 0
     var n = 0
     while (in.hasNext && in.head._4 == blockId && n < maxEdgesPerPart) {
-      val (src, dst, w, _) = in.next()
-      if (dst != lastDst) {
-        if (lastDst >= 0) offsets += srcs.length
-        dstLocal += (dst - lo).toInt
-        lastDst = dst
+      val (key, other, w, _) = in.next()
+      if (key != lastKey) {
+        if (lastKey >= 0) offsets += adj.length
+        keys += (key - lo).toInt
+        lastKey = key
       }
-      srcs += src
+      adj += other
       wNorm += w
       n += 1
     }
-    offsets += srcs.length
+    offsets += adj.length
     val seq = partSeq.getOrElse(blockId, 0)
     partSeq(blockId) = seq + 1
-    AdjPart(blockId, seq, dstLocal.toArray, offsets.toArray, srcs.toArray, wNorm.toArray)
+    AdjPart(blockId, seq, keys.toArray, offsets.toArray, adj.toArray, wNorm.toArray)
   }
 }
 

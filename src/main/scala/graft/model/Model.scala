@@ -20,31 +20,38 @@ final case class Edge(src: Long, dst: Long, weight: Double)
   */
 final case class VertexMapping(extId: Long, vid: Long)
 
-/** One part of the adjacency for a destination-vertex block.
+/** One part of the blocked sparse adjacency, in either orientation.
   *
   * The reference consumes its matrix column-wise: the PageRank update
   * `x = d*(G @ D @ x) + ...` (pagerank.py:194) sends, for every edge (src, dst),
   * the mass `x[dst] * w / c[dst]` to `src`, where `c[dst]` is the weighted
-  * in-degree (column sum, pagerank.py:170). We therefore group edges by dst
-  * block so each part only needs the rank chunk of its own block, and
-  * precompute `wNorm = w / c[dst]` once at build time (D is iteration-invariant,
-  * pagerank.py:173-174).
+  * in-degree (column sum, pagerank.py:170); `wNorm = w / c[dst]` is precomputed
+  * once at build time (D is iteration-invariant, pagerank.py:173-174).
   *
-  * A block with many edges (skewed / hub destinations) is split into multiple
-  * parts capped at `maxEdgesPerPart` so no single task owns a hub's whole edge
-  * list — the salting strategy required by the north rule.
+  * Two block orientations share this layout:
+  *  - '''dst-major''' (CSC-like; distributed regime): `keys` are local dst
+  *    slots, `adj` holds the srcs receiving mass — scatter form. Each part
+  *    only needs the rank chunk of its own block.
+  *  - '''src-major''' (CSR-like; vector-resident regime): `keys` are local src
+  *    slots, `adj` holds the dsts being pulled from — gather form. With x
+  *    broadcast, each task computes exactly its own output slice: no
+  *    cross-task combining at all.
   *
-  * Layout: `dstLocal(i)` is a local slot (vid - loVid) with at least one edge;
-  * its outgoing contributions are `srcs(offsets(i) until offsets(i+1))` with
-  * matching `wNorm` entries. `dstLocal` is strictly increasing; `srcs` sorted
+  * A block with many edges (skew hubs) is split into multiple parts capped at
+  * `maxEdgesPerPart` so no single task owns a hub's whole edge list — the
+  * salting strategy required by the north rule.
+  *
+  * Layout: `keys(i)` is a local slot (vid - loVid) with at least one edge; its
+  * edges are `adj(offsets(i) until offsets(i+1))` with matching `wNorm`
+  * entries. `keys` is non-decreasing across parts of a block; `adj` sorted
   * within each slot (deterministic iteration order).
   */
 final case class AdjPart(
     blockId: Int,
     partId: Int,
-    dstLocal: Array[Int],
+    keys: Array[Int],
     offsets: Array[Int],
-    srcs: Array[Long],
+    adj: Array[Long],
     wNorm: Array[Double]
 )
 

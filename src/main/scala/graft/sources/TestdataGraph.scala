@@ -29,6 +29,9 @@ object TestdataGraph {
     cache.getOrElseUpdate(dir, LinkGraph.fromEdgeList(spark, rawEdges(spark, dir)))
   }
 
+  /** Drop cached graphs (required between SparkSession restarts). */
+  def clearCache(): Unit = synchronized(cache.clear())
+
   /** (vid, extId) dictionary joined back so outputs can be keyed by external id. */
   def withExtId(g: LinkGraph, df: DataFrame): DataFrame =
     df.join(g.vertexDict.toDF("extId", "vid"), Seq("vid")).drop("vid")

@@ -1,0 +1,207 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All shingle/signature math is pure Catalyst (sequence/transform/aggregate
+  * over arrays — codegen-friendly, no UDFs); candidate generation is
+  * bucket-join shaped so it scales: exact pairs only ever form within a
+  * bucket, never via a full cross join.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (whitespace split, single spaces). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, "\\s+")
+    val count = greatest(size(words) - (n - 1), lit(0))
+    transform(
+      sequence(lit(1), count),
+      i => array_join(slice(words, i, lit(n)), " "))
+  }
+
+  /** Exact duplicates: group by full text; every group of size > 1 is a
+    * duplicate cluster keyed by its smallest doc id. Returns
+    * (doc_id, cluster_id, cluster_size) for ALL docs (singletons included:
+    * cluster_id = own id). The hash-groupBy shape scales: map-side partial
+    * aggregation on sha2 first at 100 TB (text itself never shuffles twice).
+    */
+  def exactClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("h"))
+      .withColumn("cluster_id", min($"doc_id").over(Window.partitionBy($"h")))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"h")))
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+  }
+
+  /** Exact pairwise n-gram Jaccard near-duplicate pairs (a < b) with
+    * similarity ≥ threshold. Inverted-index join: docs explode to distinct
+    * shingles, pairs form per shingle (map-side combinable counts), then
+    * |A∩B| / (|A|+|B|−|A∩B|) filters. At scale, hot shingles should be
+    * pre-filtered like stop tokens (see maxDocsPerShingle).
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocsPerShingle: Int = 10000
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val sizes = ds.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val kept = ds.join(
+      ds.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" <= maxDocsPerShingle && $"df" >= 2)
+        .select($"sh"),
+      Seq("sh"))
+    val inter = kept.as("l")
+      .join(kept.as("r"), col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "szA"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szB"), Seq("b"))
+      .withColumn("jaccard", $"inter" / ($"szA" + $"szB" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"a", $"b", $"jaccard")
+  }
+
+  /** MinHash signature: numHashes seeded xxhash64 minima over the shingle set. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = shingles(text, n)
+    transform(
+      sequence(lit(1), lit(numHashes)),
+      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+  }
+
+  /** MinHash + LSH banding near-duplicate candidate pairs, verified with the
+    * signature-estimated Jaccard (fraction of agreeing minhashes).
+    *
+    * numHashes = bands · rowsPerBand. Docs collide into a bucket when one
+    * band of their signatures matches exactly; candidates verify estimated
+    * similarity ≥ threshold. Scale shape: bucket ids shuffle once
+    * (explode bands → groupBy bucket), pairs form only inside buckets.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rowsPerBand
+    val sigs = docs
+      .select(col(idCol).as("doc_id"),
+        minhashSignature(col(textCol), n, numHashes).as("sig"))
+      .filter(size($"sig") > 0)
+    val banded = sigs.select(
+      $"doc_id", $"sig",
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            xxhash64(array_join(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)), ","), b)
+              .as("bucket")))).as("bb"))
+      .select($"doc_id", $"sig", $"bb.band", $"bb.bucket")
+    val cands = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.sig").as("sigA"), col("r.sig").as("sigB"))
+      .dropDuplicates("a", "b")
+    cands
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with($"sigA", $"sigB", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v).cast("double") / numHashes)
+      .filter($"est_jaccard" >= threshold)
+      .select($"a", $"b", $"est_jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b is 1 iff the weighted sum of
+    * token-hash bit b (+1/−1) is positive. Pure column expressions: per-doc
+    * fold over the token array, no explode, no UDAF.
+    */
+  def simhash(text: Column): Column = {
+    val tokens = split(text, "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    // for each bit: sum of +-1 across token hashes, then assemble the sign bits
+    val bits = transform(
+      sequence(lit(0), lit(63)),
+      b =>
+        when(
+          aggregate(
+            hashes,
+            lit(0L),
+            (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+            > 0,
+          1L).otherwise(0L))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(call_function("shiftleft", element_at(bits, b + 1), b)))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs within maxHamming, candidate-generated by
+    * 4×16-bit band buckets (a pair within Hamming ≤ 3 must agree on at least
+    * one 16-bit quarter — pigeonhole), verified exactly.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(
+      $"doc_id", $"sig",
+      explode(
+        transform(sequence(lit(0), lit(3)),
+          q => struct(q.as("q"), call_function("shiftright", $"sig", q * lit(16)).bitwiseAND(lit(0xFFFFL)).as("bucket"))))
+        .as("bb"))
+      .select($"doc_id", $"sig", $"bb.q", $"bb.bucket")
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.q") === col("r.q") && col("l.bucket") === col("r.bucket")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        hamming64(col("l.sig"), col("r.sig")).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
+    * brute-force form; see [[graft.sim.Ann]] for the bucketed scale path.
+    */
+  def embeddingPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.as("l")
+      .join(v.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        graft.sim.Ann.cosine(col("l.vec"), col("r.vec")).as("cosine"))
+      .filter($"cosine" >= threshold)
+  }
+}

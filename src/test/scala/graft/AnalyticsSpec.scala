@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.NetworkAnalytics
+import graft.graph.LinkGraph
+
+class AnalyticsSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** numpy-equivalent percentile (linear interpolation) on a sorted array. */
+  private def npPercentile(sorted: Array[Double], p: Double): Double = {
+    val idx = p / 100.0 * (sorted.length - 1)
+    val lo = math.floor(idx).toInt
+    val hi = math.ceil(idx).toInt
+    if (lo == hi) sorted(lo) else sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+  }
+
+  /** reference Gini (pagerank.py:221-243) verbatim. */
+  private def refGini(values: Array[Double]): Double = {
+    val s = values.sorted
+    val n = s.length
+    val cum = s.sum
+    (2.0 * s.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum) / (n * cum) - (n + 1.0) / n
+  }
+
+  private val vals = Array(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0)
+
+  test("exact percentile matches numpy linear interpolation") {
+    val df = vals.toSeq.toDF("v")
+    for (p <- Seq(50, 90, 95, 99)) {
+      val got = NetworkAnalytics.percentileOfExact(df, "v", p / 100.0)
+      val want = npPercentile(vals.sorted, p)
+      assert(math.abs(got - want) < 1e-12, s"p$p: got $got want $want")
+    }
+  }
+
+  test("gini matches the reference formula") {
+    val df = vals.toSeq.toDF("v")
+    val got = NetworkAnalytics.gini(df, "v").first().getDouble(0)
+    assert(math.abs(got - refGini(vals)) < 1e-12)
+    // known extremes
+    val equal = NetworkAnalytics.gini(Seq(2.0, 2.0, 2.0, 2.0).toDF("v"), "v").first().getDouble(0)
+    assert(math.abs(equal) < 1e-12)
+  }
+
+  test("stddev is population (numpy), not sample") {
+    val df = vals.toSeq.toDF("v")
+    val mean = vals.sum / vals.length
+    val popStd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
+    val got = df.agg(stddev_pop($"v")).first().getDouble(0)
+    assert(math.abs(got - popStd) < 1e-12)
+  }
+
+  test("histogram puts the max value in the last bin (matplotlib semantics)") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val hist = NetworkAnalytics.histogram(df, "v", 10).collect()
+    assert(hist.map(_.getAs[Long]("cnt")).sum == 100)
+    assert(hist.map(_.getAs[Long]("bin")).max == 9)
+    val last = hist.find(_.getAs[Long]("bin") == 9).get
+    assert(last.getAs[Long]("cnt") == 10) // 91..100, max inclusive
+  }
+
+  test("composite risk is a probability distribution with the 0.001 baseline mix") {
+    val g = LinkGraph.fromEdgeList(
+      spark,
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L)).toDF("src", "dst"),
+      numBlocks = 2)
+    val risk = NetworkAnalytics.compositeRisk(g)
+    val total = risk.agg(sum($"value")).first().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-12)
+    assert(risk.filter($"value" <= 0).count() == 0)
+    g.unpersistAll()
+  }
+
+  test("network metrics mirror hand-computed values on a tiny graph") {
+    // 0->1 (x2 dup), 1->2; weighted degrees: in: [0,2,1], out: [2,1,0]
+    val g = LinkGraph.fromEdgeList(
+      spark,
+      Seq((0L, 1L), (0L, 1L), (1L, 2L)).toDF("src", "dst"),
+      numBlocks = 2)
+    val m = NetworkAnalytics.networkMetrics(g).first()
+    assert(m.getAs[Long]("total_providers") == 3)
+    assert(m.getAs[Long]("total_referrals") == 2) // folded nnz
+    assert(math.abs(m.getAs[Double]("average_referrals_out") - 1.0) < 1e-12)
+    assert(math.abs(m.getAs[Double]("average_referrals_in") - 1.0) < 1e-12)
+    assert(m.getAs[Long]("max_referrals_out") == 2)
+    assert(m.getAs[Long]("isolated_providers") == 0)
+    g.unpersistAll()
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.algo.PageRank
+import graft.engine.{CheckpointManager, PageRankEngine}
+import graft.graph.LinkGraph
+import graft.model.{PageRankConfig, PageRankMode}
+import graft.sources.{EdgeListSource, RepoFiles, SkewedEdges}
+
+class ResumeAndSourcesSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val rand = DenseReference.randomEdges(40, 0.1, seed = 5).map(e => (e._1.toLong, e._2.toLong))
+
+  test("resume from a mid-run checkpoint reproduces the uninterrupted final ranks") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    val g = LinkGraph.fromEdgeList(spark, rand.toDF("src", "dst"), numBlocks = 3)
+
+    // uninterrupted run
+    val full = PageRank.run(g, tolerance = 1e-10, maxIterations = 200)
+    val wantRanks = full.toVertexDf(g).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // interrupted run: stop after 10 supersteps (checkpoint every 5)
+    val cfg = PageRankConfig(0.85, 1e-10, 200, PageRankMode.ReferenceRenorm,
+      checkpointDir = Some(dir), checkpointEvery = 5)
+    new PageRankEngine(g, cfg.copy(maxIterations = 10)).run()
+    val committed = CheckpointManager.committedSupersteps(dir)
+    assert(committed == Seq(5, 10), s"committed=$committed")
+
+    // resume to convergence; supersteps <= 10 must not be recomputed
+    val resumed = PageRank.resume(g, cfg)
+    assert(resumed.run.converged)
+    assert(resumed.run.iterations == full.run.iterations, "same total iteration count")
+    assert(resumed.metrics.forall(_.superstep > 10), "no superstep <= 10 recomputed")
+    val gotRanks = resumed.toVertexDf(g).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    wantRanks.foreach { case (vid, w) => assert(math.abs(gotRanks(vid) - w) < 1e-9, s"vid $vid") }
+    g.unpersistAll()
+  }
+
+  test("checkpoint manifest records per-superstep metrics (rows/bytes/residual)") {
+    val dir = Files.createTempDirectory("graft-metrics").toString
+    val g = LinkGraph.fromEdgeList(spark, rand.toDF("src", "dst"), numBlocks = 3)
+    val out = new PageRankEngine(
+      g,
+      PageRankConfig(0.85, 0.0, 4, PageRankMode.ReferenceRenorm,
+        checkpointDir = Some(dir), checkpointEvery = 2)).run()
+    assert(out.metrics.size == 4)
+    assert(out.metrics.forall(_.residual > 0))
+    assert(out.metrics.forall(_.wallMs >= 0))
+    val manifest = Files.readString(
+      java.nio.file.Paths.get(dir, "_manifest", "4.json"))
+    assert(manifest.contains("\"superstep\":4") && manifest.contains("residual"))
+    g.unpersistAll()
+  }
+
+  test("csv reader drops the weight column; tsv reader skips # comments") {
+    val csvDir = Files.createTempDirectory("graft-csv")
+    Files.writeString(csvDir.resolve("e.csv"), "1,2,99\n2,3,99\n2,3,7\n")
+    val csv = EdgeListSource.csv(spark, csvDir.toString + "/e.csv")
+    assert(csv.columns.toSeq == Seq("src", "dst"))
+    assert(csv.count() == 3) // duplicates preserved for the fold
+
+    val tsvDir = Files.createTempDirectory("graft-tsv")
+    Files.writeString(tsvDir.resolve("e.tsv"), "# header\n# another\n1\t2\n2\t3\n")
+    val tsv = EdgeListSource.tsv(spark, tsvDir.toString + "/e.tsv")
+    assert(tsv.count() == 2)
+    assert(tsv.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("repo-file table is deterministic, hint-shaped, and pattern-extractable") {
+    val t1 = RepoFiles.table(spark, numRepos = 20, filesPerRepo = 4, vocab = 50)
+    val t2 = RepoFiles.table(spark, numRepos = 20, filesPerRepo = 4, vocab = 50)
+    assert(t1.columns.toSeq == Seq("repo", "path", "commit", "lang", "content"))
+    // determinism: identical content hashes across regenerations
+    val h1 = RepoFiles.withContentHash(t1).agg(sum(crc32($"content_sha256"))).first().getLong(0)
+    val h2 = RepoFiles.withContentHash(t2).agg(sum(crc32($"content_sha256"))).first().getLong(0)
+    assert(h1 == h2)
+    // every file yields at least one import token; tokens look like libNNN
+    val toks = RepoFiles.repoTokens(t1)
+    assert(toks.count() >= t1.count())
+    assert(toks.filter(!$"token".rlike("^lib\\d{3}$")).count() == 0)
+    // shared-pattern edges are symmetric (both orientations present)
+    val e = RepoFiles.sharedPatternEdges(t1, maxReposPerToken = 50)
+    val asym = e.select($"src", $"dst")
+      .except(e.select($"dst".as("src"), $"src".as("dst")))
+    assert(asym.count() == 0)
+  }
+
+  test("skewed synthetic edges are deterministic and skewed") {
+    val e1 = SkewedEdges.edges(spark, 1000, 5000).agg(sum($"src" + $"dst")).first().getLong(0)
+    val e2 = SkewedEdges.edges(spark, 1000, 5000).agg(sum($"src" + $"dst")).first().getLong(0)
+    assert(e1 == e2)
+    val topShare = SkewedEdges.edges(spark, 1000, 5000)
+      .filter($"dst" < 100).count().toDouble / 5000
+    assert(topShare > 0.2, s"bottom-decile ids should be hot, got $topShare")
+  }
+
+  test("end-to-end: repo files → shared-pattern graph → pagerank probability simplex") {
+    val files = RepoFiles.table(spark, numRepos = 30, filesPerRepo = 3, vocab = 40)
+    val g = RepoFiles.linkGraph(spark, files, maxReposPerToken = 25)
+    assert(g.numVertices > 0 && g.numEdges > 0)
+    val out = PageRank.run(g, tolerance = 1e-8, maxIterations = 100)
+    val mass = out.toVertexDf(g).agg(sum($"value")).first().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9)
+    g.unpersistAll()
+  }
+}

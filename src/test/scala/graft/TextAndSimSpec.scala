@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.sim.Ann
+import graft.text.{Dedup, TextAnalytics}
+
+class TextAndSimSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "der schnelle braune fuchs springt und das ist gut"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "completely unrelated words about spark engines here"),
+    (5L, "le chat est sur la table et le chien est la")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup clusters identical texts under the min doc id") {
+    val c = Dedup.exactClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c(0L) == (0L, 2L) && c(3L) == (0L, 2L))
+    assert(c(1L) == (1L, 1L))
+  }
+
+  test("ngram jaccard finds the planted near-duplicate pair") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 3 && p._3 == 1.0), "exact dup = jaccard 1")
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 1 && p._3 > 0.6), "near dup found")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L), "unrelated doc has no pair")
+  }
+
+  test("minhash-LSH recovers the exact and near duplicates") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)))
+  }
+
+  test("minhash signature of identical texts is identical; estimate is 1.0") {
+    val sigs = docs.filter($"doc_id".isin(0L, 3L))
+      .select(Dedup.minhashSignature($"text", 2, 64)).collect()
+    assert(sigs(0).getSeq[Long](0) == sigs(1).getSeq[Long](0))
+  }
+
+  test("simhash: identical texts at hamming 0; near-dups closer than unrelated") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(3L)) == 0)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(4L)))
+  }
+
+  test("language id picks the marker language; markerless text is 'und'") {
+    val out = TextAnalytics.languageId(docs, "text")
+      .select($"doc_id", $"lang_guess").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(2L) == "de")
+    assert(out(5L) == "fr")
+    assert(out(4L) == "und") // no stopword markers
+  }
+
+  test("quality signals + token counts are sane and deterministic") {
+    val q = TextAnalytics.qualitySignals(docs, "text").collect()
+    q.foreach { r =>
+      assert(r.getAs[Double]("quality_score") >= 0.0 && r.getAs[Double]("quality_score") <= 1.0)
+      assert(r.getAs[Long]("n_words") > 0)
+    }
+    val t = TextAnalytics.tokenCounts(docs, "text")
+      .filter($"doc_id" === 0L).first()
+    assert(t.getAs[Long]("ws_tokens") == 9)
+    assert(t.getAs[Long]("bpeish_tokens") == 9)
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    assert(TextAnalytics.tokenCounts(empty, "text").first().getAs[Long]("ws_tokens") == 0)
+  }
+
+  test("fingerprint is whitespace-normalized and case-insensitive") {
+    val d2 = Seq(
+      (0L, "Hello   World"),
+      (1L, "hello world"),
+      (2L, "hello worlds")).toDF("doc_id", "text")
+    val f = TextAnalytics.fingerprints(d2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(0L) == f(1L))
+    assert(f(1L) != f(2L))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)), // near 0
+    (2L, Array(0f, 1f, 0f, 0f)),
+    (3L, Array(0f, 0f, 1f, 1f)),
+    (4L, Array(-1f, 0f, 0f, 0f))
+  ).toDF("id", "vec")
+
+  test("brute-force knn ranks the geometrically nearest first") {
+    val queries = vecs.filter($"id" === 0L).select($"id".as("qid"), $"vec".as("qvec"))
+    val top = Ann.bruteForceTopK(vecs, queries, k = 2)
+      .orderBy($"rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(math.abs(top(0).getAs[Double]("cosine") - 0.9 / math.sqrt(0.82)) < 1e-6)
+  }
+
+  test("embedding cosine pairs finds the near-dup pair only") {
+    val pairs = Dedup.embeddingPairs(vecs, "id", "vec", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("LSH top-k recalls most of brute-force top-k on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = Ann.bruteForceTopK(corpus, queries, 5)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(corpus, queries, 5, dim = 64, planesPerTable = 4, tables = 8)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // synthetic embeddings are near-uniform (max cosine ~0.5) — the hardest
+    // case for sign-LSH; 4 planes x 8 tables should still recover most of top-5
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("multimodal pipeline: schema, determinism, frame sampling plan") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.syntheticMedia(d, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.width).toSeq == f2.map(_.width).toSeq)
+    assert(f1.forall(_.feature.length == 8))
+    val plan = Multimodal.frameSamplePlan(Multimodal.decodeFeatures(media), stride = 10, maxFrames = 5)
+    plan.collect().foreach { r =>
+      val ids = r.getSeq[Int](2)
+      assert(ids.length <= 5 && ids.zip(ids.drop(1)).forall { case (a, b) => b - a == 10 })
+    }
+  }
+}
