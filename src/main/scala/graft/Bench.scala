@@ -51,8 +51,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchVertices = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4000000").toLong
-    val benchEdges = sys.env.getOrElse("SPARK_GRAFT_BENCH_E", "80000000").toLong
+    // kernel-bench scale: big enough that compute dominates fixed per-superstep
+    // costs at high core counts, scaled down when few cores (graph build time)
+    val (defN, defE) = if (cpus >= 16) ("4000000", "80000000") else ("1000000", "10000000")
+    val benchVertices = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", defN).toLong
+    val benchEdges = sys.env.getOrElse("SPARK_GRAFT_BENCH_E", defE).toLong
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
@@ -83,32 +86,37 @@ object Bench {
       out.ranks.unpersist(); rg.unpersistAll()
     }._2
 
-    // ---- phase 3: kernel throughput at fixed synthetic scale ----
-    val (kernelStats, kernelSec) = time {
-      val eg = LinkGraph.fromEdgeList(spark, SkewedEdges.edges(spark, benchVertices, benchEdges))
-      eg.adjParts.count()
-      val foldedEdges = eg.numEdges
-      val perStep = kernelSuperstepSec(eg, 10)
-      eg.unpersistAll()
-      (foldedEdges, perStep)
-    }
-    val (foldedE, tMain) = kernelStats
-    results += "kernel_pagerank_10steps" -> kernelSec
-    val edgesPerSec = foldedE / tMain
-
-    // ---- phase 4: scaling evidence — same kernel input at N/4 cores ----
-    val lowCpus = math.max(1, cpus / 4)
+    // ---- phases 3+4: kernel throughput + N vs 4N scaling, each in a FRESH
+    // session: shared-session cache/GC residue from earlier phases was
+    // measured to slow the kernel ~1.6x and mask the scaling signal ----
+    g.unpersistAll()
     spark.stop()
     TestdataGraph.clearCache()
-    spark = session(lowCpus)
-    val tLow = {
-      val eg = LinkGraph.fromEdgeList(spark, SkewedEdges.edges(spark, benchVertices, benchEdges))
-      eg.adjParts.count()
-      val t = kernelSuperstepSec(eg, 10)
-      eg.unpersistAll()
-      t
+
+    def kernelLeg(cores: Int): (Long, Double, Double) = {
+      val s = session(cores)
+      val ((folded, perStep), total) = time {
+        val eg = LinkGraph.fromEdgeList(s, SkewedEdges.edges(s, benchVertices, benchEdges))
+        eg.gatherPartsRdd.count()
+        val f = eg.numEdges
+        val t = kernelSuperstepSec(eg, 12)
+        eg.unpersistAll()
+        (f, t)
+      }
+      s.stop()
+      (folded, perStep, total)
     }
-    spark.stop()
+
+    // low leg FIRST: both legs share one JVM, and heap residue from a prior
+    // leg slows the next one — running small-first biases the measured
+    // speedup DOWNWARD (conservative).
+    val lowCpus = math.max(1, cpus / 4)
+    val (_, tLow, _) = kernelLeg(lowCpus)
+    System.gc()
+
+    val (foldedE, tMain, kernelSec) = kernelLeg(cpus)
+    results += "kernel_pagerank_12steps" -> kernelSec
+    val edgesPerSec = foldedE / tMain
     val efficiency = (tLow / tMain) / (cpus.toDouble / lowCpus)
 
     val total = results.values.sum

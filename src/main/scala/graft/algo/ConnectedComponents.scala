@@ -33,9 +33,8 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
 
-    var labels = graph.vertexDict
-      .select($"vid", $"vid".as("label"))
-      .localCheckpoint(true)
+    var (labels, freeLabels) = graft.graph.Lineage.pin(
+      graph.vertexDict.select($"vid", $"vid".as("label")).toDF())
 
     var iteration = 0
     var changed = 1L
@@ -43,17 +42,18 @@ object ConnectedComponents {
       val msgs = und
         .join(labels, und("src") === labels("vid"))
         .select(und("dst").as("vid"), $"label")
-      val newLabels = labels
-        .union(msgs)
-        .groupBy($"vid")
-        .agg(min($"label").as("label"))
-        .localCheckpoint(true)
+      val (newLabels, freeNew) = graft.graph.Lineage.pin(
+        labels
+          .union(msgs)
+          .groupBy($"vid")
+          .agg(min($"label").as("label")))
       changed = newLabels
         .join(labels.withColumnRenamed("label", "old"), Seq("vid"))
         .filter($"label" =!= $"old")
         .count()
-      labels.unpersist()
+      freeLabels()
       labels = newLabels
+      freeLabels = freeNew
       iteration += 1
     }
     und.unpersist()

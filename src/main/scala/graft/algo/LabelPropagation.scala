@@ -31,9 +31,8 @@ object LabelPropagation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
 
-    var labels = graph.vertexDict
-      .select($"vid", $"vid".as("label"))
-      .localCheckpoint(true)
+    var (labels, freeLabels) = graft.graph.Lineage.pin(
+      graph.vertexDict.select($"vid", $"vid".as("label")).toDF())
 
     var k = 0
     while (k < iterations) {
@@ -47,13 +46,14 @@ object LabelPropagation {
         .filter($"rn" === 1)
         .select($"vid", $"label")
       // vertices with no neighbors keep their previous label
-      val newLabels = labels
-        .withColumnRenamed("label", "old")
-        .join(adopted, Seq("vid"), "left")
-        .select($"vid", coalesce($"label", $"old").as("label"))
-        .localCheckpoint(true)
-      labels.unpersist()
+      val (newLabels, freeNew) = graft.graph.Lineage.pin(
+        labels
+          .withColumnRenamed("label", "old")
+          .join(adopted, Seq("vid"), "left")
+          .select($"vid", coalesce($"label", $"old").as("label")))
+      freeLabels()
       labels = newLabels
+      freeLabels = freeNew
       k += 1
     }
     und.unpersist()

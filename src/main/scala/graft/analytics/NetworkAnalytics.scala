@@ -22,11 +22,45 @@ object NetworkAnalytics {
     * equal v, so rank order within a tie group cannot change the sum.
     */
   def gini(df: DataFrame, valueCol: String): DataFrame = {
-    df.select(col(valueCol).cast("double").as("v"))
-      .withColumn("i", row_number().over(Window.orderBy(col("v"))).cast("double"))
-      .agg(
-        (lit(2.0) * sum(col("i") * col("v")) / (count(lit(1)) * sum(col("v")))
-          - (count(lit(1)) + lit(1.0)) / count(lit(1))).as("gini"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Distributed global ranking (no single-partition window): range-partition
+    // by value, sort within partitions, then offset per-partition local ranks
+    // by the exclusive prefix of partition counts — Σ((off+j)·v) decomposes as
+    // Σ(j·v) + off·Σv per partition, so one pass computes everything.
+    val p = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = df
+      .select(col(valueCol).cast("double").as("v"))
+      .repartitionByRange(p, $"v")
+      .sortWithinPartitions($"v")
+      .select($"v", spark_partition_id().as("pid"))
+      .as[(Double, Int)]
+    val perPartition = sorted
+      .mapPartitions { it =>
+        var pid = -1
+        var cnt = 0L
+        var s = 0.0
+        var iv = 0.0 // Σ (1-based local index · v)
+        it.foreach { case (v, id) =>
+          pid = id; cnt += 1; s += v; iv += cnt * v
+        }
+        if (cnt == 0) Iterator.empty else Iterator.single((pid, cnt, s, iv))
+      }
+      .collect()
+      .sortBy(_._1)
+    var off = 0L
+    var n = 0L
+    var sumV = 0.0
+    var sumIv = 0.0
+    perPartition.foreach { case (_, cnt, s, iv) =>
+      sumIv += iv + off.toDouble * s
+      sumV += s
+      off += cnt
+      n += cnt
+    }
+    val g = if (n == 0 || sumV == 0.0) 0.0
+    else 2.0 * sumIv / (n * sumV) - (n + 1.0) / n
+    Seq(g).toDF("gini")
   }
 
   /** Exact percentile via SQL `percentile` (linear interpolation, NumPy-equal). */
@@ -148,8 +182,8 @@ object NetworkAnalytics {
       .select($"vid", $"value".as("x"))
       .join(prior.select($"vid", $"value".as("r0")), Seq("vid"))
     val thr = percentileOfExact(joined, "x", 0.9)
-    val withCdf = joined
-      .withColumn("risk_percentile", cume_dist().over(Window.orderBy($"x")) * lit(100.0))
+    val withCdf = percentileRank(joined, "x")
+      .withColumnRenamed("pct_rank", "risk_percentile")
     withCdf
       .filter($"x" > lit(thr))
       .select(
@@ -211,18 +245,36 @@ object NetworkAnalytics {
   def rankCurve(scores: DataFrame, valueCol: String, top: Int, step: Int, limit: Int): DataFrame = {
     val spark = scores.sparkSession
     import spark.implicits._
-    val ranked = scores
+    // TakeOrderedAndProject keeps the global sort distributed; the window only
+    // ever sees the tiny prefix it needs (top + step·limit rows).
+    val need = math.max(top, step * limit)
+    val prefix = scores
+      .orderBy(col(valueCol).desc, $"vid")
+      .limit(need)
+    prefix
       .withColumn("rank", row_number().over(Window.orderBy(col(valueCol).desc, $"vid")))
-    ranked
       .filter($"rank" <= top || ($"rank" % step === 0 && $"rank" <= step.toLong * limit))
       .select($"rank", col(valueCol).as("score"))
       .orderBy($"rank")
   }
 
-  /** Empirical CDF percentile (pagerank.py:371): share of values <= v, ×100. */
+  /** Empirical CDF percentile (pagerank.py:371): share of values <= v, ×100.
+    * The running total is windowed over DISTINCT values only (then joined
+    * back), so the single-partition window touches |distinct values| rows,
+    * not n — degrees and scores are heavily tied at scale. Fully general
+    * inputs with ~n distinct values should pre-bucket first.
+    */
   def percentileRank(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.withColumn("pct_rank", cume_dist().over(Window.orderBy(col(valueCol))) * lit(100.0))
+    val n = df.count().toDouble
+    val cum = df
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum",
+        sum($"__c").over(
+          Window.orderBy($"__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"__v", ($"__cum" / lit(n) * 100.0).as("pct_rank"))
+    df.join(cum, col(valueCol) === col("__v")).drop("__v")
   }
 }

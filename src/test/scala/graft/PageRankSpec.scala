@@ -64,17 +64,26 @@ class PageRankSpec extends GraftSuite {
     }
   }
 
-  test("shuffle (co-partitioned) path matches broadcast path") {
+  test("distributed (chunk-shuffle) regime matches the resident regime in all three modes") {
     val saved = PageRankEngine.BroadcastThresholdBytes
+    val n = 50
+    val rawPrior = Array.tabulate(n)(i => 0.001 + (i % 7) * 0.01)
+    def priorDf = rawPrior.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("vid", "value")
+    def runAll(): (Array[Double], Array[Double], Array[Double]) = {
+      val g = graphOf(rand50)
+      val a = ranksArray(g, PageRank.run(g, tolerance = 1e-10, maxIterations = 100))
+      val b = ranksArray(g, PageRank.runDangling(g, tolerance = 1e-10, maxIterations = 100))
+      val c = ranksArray(g, PageRank.propagateRisk(g, priorDf, tolerance = 1e-10, maxIterations = 100))
+      g.unpersistAll()
+      (a, b, c)
+    }
     try {
-      val g1 = graphOf(rand50)
-      val broadcastRanks = ranksArray(g1, PageRank.run(g1, tolerance = 1e-10, maxIterations = 100))
-      g1.unpersistAll()
-      PageRankEngine.BroadcastThresholdBytes = 0L // force the shuffled-chunk join path
-      val g2 = graphOf(rand50)
-      val shuffleRanks = ranksArray(g2, PageRank.run(g2, tolerance = 1e-10, maxIterations = 100))
-      g2.unpersistAll()
-      assertAllClose(shuffleRanks, broadcastRanks, 1e-12)
+      val (r1, d1, k1) = runAll() // resident (n tiny)
+      PageRankEngine.BroadcastThresholdBytes = 0L // force the distributed regime
+      val (r2, d2, k2) = runAll()
+      assertAllClose(r2, r1, 1e-12)
+      assertAllClose(d2, d1, 1e-12)
+      assertAllClose(k2, k1, 1e-12)
     } finally PageRankEngine.BroadcastThresholdBytes = saved
   }
 
