@@ -44,7 +44,7 @@ object Bench {
   private def kernelSuperstepSec(g: LinkGraph, iters: Int): Double = {
     val out = PageRank.run(g, damping = 0.85, tolerance = 0.0, maxIterations = iters)
     val times = out.metrics.drop(2).map(_.wallMs).sorted
-    out.ranks.unpersist()
+    out.free()
     times(times.size / 2) / 1000.0 // median: robust to stray GC/dispatch stalls
   }
 
@@ -67,10 +67,10 @@ object Bench {
       gg
     }
     results += "graph_build" -> buildSec
-    results += "pagerank_tol1e6" -> time(PageRank.run(g, tolerance = 1e-6).ranks.unpersist())._2
+    results += "pagerank_tol1e6" -> time(PageRank.run(g, tolerance = 1e-6).free())._2
     results += "risk_k6" -> time {
       val prior = NetworkAnalytics.compositeRisk(g)
-      PageRank.propagateRisk(g, prior, tolerance = 0.0, maxIterations = 6).ranks.unpersist()
+      PageRank.propagateRisk(g, prior, tolerance = 0.0, maxIterations = 6).free()
     }._2
     results += "connected_components" -> time(ConnectedComponents.run(g).count())._2
     results += "lpa_k4" -> time(LabelPropagation.run(g, 4).count())._2
@@ -83,7 +83,7 @@ object Bench {
       val rg = RepoFiles.linkGraph(spark, files, maxReposPerToken = 200)
       rg.adjParts.count()
       val out = PageRank.run(rg, tolerance = 0.0, maxIterations = 5)
-      out.ranks.unpersist(); rg.unpersistAll()
+      out.free(); rg.unpersistAll()
     }._2
 
     // ---- phases 3+4: kernel throughput + N vs 4N scaling, each in a FRESH

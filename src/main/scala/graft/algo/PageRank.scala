@@ -61,7 +61,7 @@ object PageRank {
   ): Seq[ConvergenceRow] =
     tolerances.map { tol =>
       val out = run(graph, damping, tol, maxIterations)
-      out.ranks.unpersist()
+      out.free()
       ConvergenceRow(tol, out.run.iterations, out.run.converged, out.run.finalError, out.run.wallTimeSec)
     }
 

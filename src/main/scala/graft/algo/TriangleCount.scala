@@ -54,11 +54,14 @@ object TriangleCount {
     val withDeg = und
       .join(deg.withColumnRenamed("vid", "u").withColumnRenamed("deg", "du"), Seq("u"))
       .join(deg.withColumnRenamed("vid", "v").withColumnRenamed("deg", "dv"), Seq("v"))
+    // NOT persisted: the three consumers (e1, e2, closing) share identical
+    // exchange subtrees, which Catalyst deduplicates via ReuseExchange — an
+    // explicit persist here leaked (two public entry points, no unpersist
+    // hook on the lazily returned frame).
     val oriented = withDeg
       .select(
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("x"),
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedges centered at the low-order endpoint, then close with an oriented edge
     val e1 = oriented.select($"x", $"y".as("y1"))
     val e2 = oriented.select($"x", $"y".as("y2"))

@@ -13,10 +13,18 @@ import graft.graph.LinkGraph
 final case class PageRankOutcome(
     ranks: Dataset[RankChunk],
     run: PageRankRun,
-    metrics: Seq[SuperstepMetrics]
+    metrics: Seq[SuperstepMetrics],
+    private val cleanup: () => Unit = () => ()
 ) {
   /** Ranks as a (vid, value) DataFrame. */
   def toVertexDf(graph: LinkGraph): DataFrame = graph.chunksToVertexDf(ranks)
+
+  /** Release the pinned rank storage. `ranks.unpersist()` is NOT equivalent:
+    * the dataset wraps an ExternalRDD, and unpersisting the wrapper Dataset is
+    * a no-op for the persisted RDD underneath — repeated runs would accumulate
+    * one n-double block of storage each.
+    */
+  def free(): Unit = cleanup()
 }
 
 /** Distributed power-iteration engine over destination-blocked adjacency.
@@ -36,12 +44,19 @@ final case class PageRankOutcome(
   *    teleport/renormalize/residual arithmetic runs on the driver in exactly
   *    the reference's operation order. One Spark job per superstep.
   *
-  *  - '''Distributed regime''' (large n): chunks stay a Dataset; each superstep
-  *    joins the cached block-partitioned adjacency with the (small) rank
-  *    chunks so only the rank vector shuffles; residual / normalizer come from
-  *    DoubleAccumulators updated in the result stage (exactly-once per
-  *    partition — Spark dedups result-stage accumulator updates on retry).
-  *    Lineage is cut per superstep behind an ExternalRDD pin (see [[pin]]).
+  *  - '''Distributed regime''' (large n): the adjacency lives in
+  *    [[LinkGraph.adjPartsByBlock]] — an RDD co-partitioned so partition b
+  *    holds exactly block b's parts — and the rank vector is an
+  *    [[LinkGraph.toBlockLayout identically-laid-out]] RDD of chunks. Each
+  *    superstep zipPartitions the two (NO join, NO exchange of adjacency:
+  *    round 1 joined the cached Dataset per superstep and the planner
+  *    broadcast / sort-merge-exchanged all ~16 B/edge of adjacency every
+  *    iteration), scatters pre-combined contributions, and shuffles ONLY
+  *    those O(n)-bounded contribution rows back to the owning blocks.
+  *    Residual / normalizer come from DoubleAccumulators updated in the
+  *    result stage (exactly-once per partition — Spark dedups result-stage
+  *    accumulator updates on retry). Lineage is cut per superstep behind an
+  *    RDD localCheckpoint (see [[pinRdd]]).
   *
   * Optional durable parquet checkpoints + a JSON manifest give mid-iteration
   * resume (north rule). Per-superstep shuffle rows/bytes are captured by a
@@ -54,6 +69,9 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
   private val n: Long = graph.numVertices
   private val d: Double = cfg.damping
   private def driverResident: Boolean = n * 8L < PageRankEngine.BroadcastThresholdBytes
+
+  /** Pinned helper RDDs (z / delta vectors) released when the run finishes. */
+  @transient private val auxPins = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
 
   def run(): PageRankOutcome = runFrom(initialVector(), 0)
 
@@ -101,6 +119,16 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     (spark.createDataset(rdd), rdd)
   }
 
+  /** RDD-level pin: persist + truncate lineage, preserving partition layout
+    * (localCheckpoint mutates this RDD's dependencies in place — the partition
+    * array, and hence the block→partition layout, is untouched).
+    */
+  private def pinRdd[T](rdd: RDD[T]): RDD[T] = {
+    val r = rdd.localCheckpoint()
+    r.count()
+    r
+  }
+
   private def normalizedPriorChunks(): Dataset[RankChunk] = {
     val prior = cfg.prior.filter(_ != null).getOrElse(
       throw new IllegalArgumentException("RiskPropagation requires cfg.prior (vid, value)"))
@@ -108,23 +136,29 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     graph.chunksOf(prior.select($"vid", ($"value" / lit(total)).as("value")))
   }
 
-  /** z = 1/n - (p/n)·[c != 0]  (original_pagerank/pagerank.py:130-134). */
-  private lazy val zChunks: Dataset[RankChunk] = {
+  /** z = 1/n - (p/n)·[c != 0]  (original_pagerank/pagerank.py:130-134),
+    * block-laid-out: partition b = block b's chunk.
+    */
+  private lazy val zRdd: RDD[RankChunk] = {
     val zBase = 1.0 / n
     val zLinked = zBase - d / n
-    graph.vertexDict
+    val df = graph.vertexDict
       .join(graph.inDegrees, Seq("vid"), "left")
       .select($"vid",
         when($"deg".isNotNull && $"deg" =!= 0.0, lit(zLinked)).otherwise(lit(zBase)).as("value"))
-      .transform(df => graph.chunksOf(df))
-      .transform(ds => pin(ds)._1)
+    val r = pinRdd(graph.toBlockLayout(graph.chunksOf(df)))
+    auxPins += r
+    r
   }
 
-  /** delta = (1-d) * normalizedPrior (pagerank.py:295). */
-  private lazy val deltaChunks: Dataset[RankChunk] =
-    normalizedPriorChunks()
+  /** delta = (1-d) * normalizedPrior (pagerank.py:295), block-laid-out. */
+  private lazy val deltaRdd: RDD[RankChunk] = {
+    val ds = normalizedPriorChunks()
       .map(c => RankChunk(c.blockId, c.loVid, c.values.map(_ * (1.0 - d))))
-      .transform(ds => pin(ds)._1)
+    val r = pinRdd(graph.toBlockLayout(ds))
+    auxPins += r
+    r
+  }
 
   // ---------------------------------------------------------------- main loop
 
@@ -137,25 +171,35 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     // stable per-superstep plans & partitioning inside the loop (SURVEY §4.2.4)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     // force build+cache of the regime's adjacency layout before timing
-    if (driverResident) graph.gatherPartsRdd else graph.adjParts
+    if (driverResident) graph.gatherPartsRdd else graph.adjPartsByBlock
     try {
       if (driverResident) runResident(start, startIter, t0, listener)
       else runDistributed(start, startIter, t0, listener)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       sc.removeSparkListener(listener)
+      auxPins.foreach(_.unpersist(false))
+      auxPins.clear()
     }
   }
 
-  private def finishChunks(x: Array[Double]): Dataset[RankChunk] = {
+  /** Chunked dataset of a driver rank array, pinned; the array travels as a
+    * broadcast, not inside the task closure (an n-double closure is an
+    * O(n·numBlocks)-byte task-binary ship at materialization).
+    */
+  private def finishChunksHandle(x: Array[Double]): (Dataset[RankChunk], RDD[RankChunk]) = {
     val bs = graph.blockSize
     val nb = graph.numBlocks
-    val local = x
-    spark.range(nb).as[Long].map { b =>
+    val bx = spark.sparkContext.broadcast(x)
+    val ds = spark.range(nb).as[Long].map { b =>
+      val xs = bx.value
       val lo = b * bs
-      val len = math.min(bs, local.length - lo).toInt
-      RankChunk(b.toInt, lo, java.util.Arrays.copyOfRange(local, lo.toInt, lo.toInt + len))
-    }.transform(ds => pin(ds)._1)
+      val len = math.min(bs, xs.length - lo).toInt
+      RankChunk(b.toInt, lo, java.util.Arrays.copyOfRange(xs, lo.toInt, lo.toInt + len))
+    }
+    val out = pin(ds)
+    bx.destroy() // pinned chunks are materialized; the broadcast is done
+    out
   }
 
   /** Vector-resident regime: rank vector on the driver, kernel on the cluster. */
@@ -178,14 +222,14 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     val deltaVec: Array[Double] = cfg.mode match {
       case PageRankMode.RiskPropagation =>
         val dv = new Array[Double](n.toInt)
-        deltaChunks.collect().foreach(c => System.arraycopy(c.values, 0, dv, c.loVid.toInt, c.values.length))
+        deltaRdd.collect().foreach(c => System.arraycopy(c.values, 0, dv, c.loVid.toInt, c.values.length))
         dv
       case _ => null
     }
     val zVec: Array[Double] = cfg.mode match {
       case PageRankMode.MolerDangling =>
         val zv = new Array[Double](n.toInt)
-        zChunks.collect().foreach(c => System.arraycopy(c.values, 0, zv, c.loVid.toInt, c.values.length))
+        zRdd.collect().foreach(c => System.arraycopy(c.values, 0, zv, c.loVid.toInt, c.values.length))
         zv
       case _ => null
     }
@@ -255,10 +299,10 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
 
       cfg.checkpointDir.foreach { dir =>
         if (done || iteration % cfg.checkpointEvery == 0) {
-          val chunks = finishChunks(x)
+          val (chunks, rdd) = finishChunksHandle(x)
           CheckpointManager.write(graph, dir, iteration, error,
             metrics.takeRight(cfg.checkpointEvery).toSeq, chunks)
-          chunks.unpersist()
+          rdd.unpersist(false) // the actual pinned storage, not the wrapper
         }
       }
     }
@@ -268,13 +312,15 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
         val s = x.sum; x.map(_ / s) // final renorm only (original_pagerank/pagerank.py:144)
       case _ => x
     }
+    val (chunks, rdd) = finishChunksHandle(finalX)
     PageRankOutcome(
-      finishChunks(finalX),
+      chunks,
       PageRankRun(iteration, converged, error, (System.nanoTime() - t0) / 1e9, n, graph.numEdges),
-      metrics.toSeq)
+      metrics.toSeq,
+      () => { rdd.unpersist(false); () })
   }
 
-  /** Distributed regime: chunked vector as a Dataset, accumulator residuals. */
+  /** Distributed regime: block-laid-out chunk RDDs, zero adjacency movement. */
   private def runDistributed(
       start: Dataset[RankChunk],
       startIter: Int,
@@ -283,18 +329,56 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
   ): PageRankOutcome = {
     val sc = spark.sparkContext
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetrics]
+    val bs = graph.blockSize
+    val nv = n
+    val d0 = d
+    val hp = graph.blockPartitioner
+    val adj = graph.adjPartsByBlock
 
-    var (x, xRdd) = pin(start)
+    var xRdd: RDD[RankChunk] = pinRdd(graph.toBlockLayout(start))
+    start.unpersist()
+
     // np.sum(x) carried across supersteps (renorm mode teleport term)
     var sumX = cfg.mode match {
-      case PageRankMode.ReferenceRenorm => x.map(_.values.sum).reduce(_ + _)
+      case PageRankMode.ReferenceRenorm => xRdd.map(_.values.sum).sum()
       case _ => 0.0
     }
     // z·x carried across supersteps (Moler mode)
     var zx = cfg.mode match {
-      case PageRankMode.MolerDangling => dot(x, zChunks)
+      case PageRankMode.MolerDangling => dotRdd(xRdd, zRdd)
       case _ => 0.0
     }
+
+    /** The gather-scatter matvec: zipPartitions the CACHED co-partitioned
+      * adjacency with the identically-laid-out rank chunks (adjacency never
+      * moves), pre-combine scatter-adds across ALL parts of the block in one
+      * open-address map, then ONE shuffle of the pre-combined contribution
+      * rows (≤ n rows per source task, O(n·numBlocks) worst case — vs
+      * O(edges) if the adjacency itself moved) back to the owning blocks.
+      */
+    def contribsOf(x: RDD[RankChunk]): RDD[(Int, Contrib)] =
+      adj.zipPartitions(x) { (adjIt, xIt) =>
+        if (!xIt.hasNext) Iterator.empty
+        else {
+          val chunk = xIt.next()
+          val map = new LongDoubleMap(1 << 12)
+          adjIt.foreach { case (_, part) =>
+            var i = 0
+            while (i < part.keys.length) {
+              val xv = chunk.values(part.keys(i))
+              if (xv != 0.0) {
+                var j = part.offsets(i)
+                val end = part.offsets(i + 1)
+                while (j < end) { map.add(part.adj(j), part.wNorm(j) * xv); j += 1 }
+              }
+              i += 1
+            }
+          }
+          map.iterator.map { case (src, v) =>
+            ((src / bs).toInt, Contrib((src / bs).toInt, (src % bs).toInt, v))
+          }
+        }
+      }.partitionBy(hp)
 
     var iteration = startIter
     var converged = false
@@ -305,104 +389,107 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
       val iterT0 = System.nanoTime()
       listener.snapshot()
 
-      val contribs = contributionChunks(x)
-      val xAliased = x
-      val joined = xAliased.joinWith(contribs, xAliased("blockId") === contribs("blockId"), "left_outer")
+      val contribs = contribsOf(xRdd)
 
       cfg.mode match {
         case PageRankMode.ReferenceRenorm =>
           // job 1: y = d*Gx + delta*sum(x); accumulate sum(y)
           val accSumY = sc.doubleAccumulator("graft.sumY")
-          val teleport = (1.0 - d) / n * sumX
-          val raw = joined
-            .map { case (old, contrib) =>
-              val y = new Array[Double](old.values.length)
+          val teleport = (1.0 - d0) / nv * sumX
+          val raw = contribs.zipPartitions(xRdd) { (cit, xit) =>
+            if (!xit.hasNext) Iterator.empty
+            else {
+              val old = xit.next()
+              val gx = new Array[Double](old.values.length)
+              cit.foreach { case (_, c) => gx(c.local) += c.value }
+              val y = new Array[Double](gx.length)
               var s = 0.0
               var i = 0
-              while (i < y.length) {
-                val c = if (contrib != null) contrib.values(i) else 0.0
-                y(i) = d * c + teleport
-                s += y(i)
-                i += 1
-              }
+              while (i < y.length) { y(i) = d0 * gx(i) + teleport; s += y(i); i += 1 }
               accSumY.add(s)
-              (RankChunk(old.blockId, old.loVid, y), old.values)
+              Iterator.single((old.blockId, old.loVid, y, old.values))
             }
-          val (rawDs, rawRdd) = pin(raw)
+          }
+          val rawP = pinRdd(raw)
           val sumY = accSumY.value
           // job 2: normalize (pagerank.py:197), residual + next sum via accumulators
           val accErr = sc.doubleAccumulator("graft.residual")
           val accSum = sc.doubleAccumulator("graft.sumX")
-          val stepped = rawDs
-            .map { case (yc, old) =>
-              val v = new Array[Double](yc.values.length)
-              var diff = 0.0
-              var s = 0.0
-              var i = 0
-              while (i < v.length) {
-                v(i) = yc.values(i) / sumY
-                diff += math.abs(v(i) - old(i))
-                s += v(i)
-                i += 1
-              }
-              accErr.add(diff); accSum.add(s)
-              RankChunk(yc.blockId, yc.loVid, v)
+          val next = rawP.map { case (blockId, lo, y, old) =>
+            val v = new Array[Double](y.length)
+            var diff = 0.0
+            var s = 0.0
+            var i = 0
+            while (i < v.length) {
+              v(i) = y(i) / sumY
+              diff += math.abs(v(i) - old(i))
+              s += v(i)
+              i += 1
             }
-          val (nextDs, nextRdd) = pin(stepped)
-          rawRdd.unpersist(false)
+            accErr.add(diff); accSum.add(s)
+            RankChunk(blockId, lo, v)
+          }
+          val nextP = pinRdd(next)
+          rawP.unpersist(false)
           xRdd.unpersist(false)
-          x = nextDs; xRdd = nextRdd
+          xRdd = nextP
           error = accErr.value
           sumX = accSum.value
 
         case PageRankMode.RiskPropagation =>
-          val delta = deltaChunks
           val accErr = sc.doubleAccumulator("graft.residual")
-          val stepped = joined
-            .joinWith(delta, $"_1.blockId" === delta("blockId"))
-            .map { case ((old, contrib), del) =>
-              val y = new Array[Double](old.values.length)
+          val next = contribs.zipPartitions(xRdd, deltaRdd) { (cit, xit, dit) =>
+            if (!xit.hasNext) Iterator.empty
+            else {
+              val old = xit.next()
+              val del = dit.next()
+              val gx = new Array[Double](old.values.length)
+              cit.foreach { case (_, c) => gx(c.local) += c.value }
+              val y = new Array[Double](gx.length)
               var diff = 0.0
               var i = 0
               while (i < y.length) {
-                val c = if (contrib != null) contrib.values(i) else 0.0
-                y(i) = d * c + del.values(i) // pagerank.py:301
+                y(i) = d0 * gx(i) + del.values(i) // pagerank.py:301
                 diff += math.abs(y(i) - old.values(i))
                 i += 1
               }
               accErr.add(diff)
-              RankChunk(old.blockId, old.loVid, y)
+              Iterator.single(RankChunk(old.blockId, old.loVid, y))
             }
-          val (nextDs, nextRdd) = pin(stepped)
+          }
+          val nextP = pinRdd(next)
           xRdd.unpersist(false)
-          x = nextDs; xRdd = nextRdd
+          xRdd = nextP
           error = accErr.value
 
         case PageRankMode.MolerDangling =>
-          val z = zChunks
-          val teleport = zx / n
+          val teleport = zx / nv
           val accErr = sc.doubleAccumulator("graft.residual")
           val accZx = sc.doubleAccumulator("graft.zx")
-          val stepped = joined
-            .joinWith(z, $"_1.blockId" === z("blockId"))
-            .map { case ((old, contrib), zc) =>
-              val y = new Array[Double](old.values.length)
+          val next = contribs.zipPartitions(xRdd, zRdd) { (cit, xit, zit) =>
+            if (!xit.hasNext) Iterator.empty
+            else {
+              val old = xit.next()
+              val zc = zit.next()
+              val gx = new Array[Double](old.values.length)
+              cit.foreach { case (_, c) => gx(c.local) += c.value }
+              val y = new Array[Double](gx.length)
               var diff = 0.0
               var zdot = 0.0
               var i = 0
               while (i < y.length) {
-                val c = if (contrib != null) contrib.values(i) else 0.0
-                y(i) = d * c + teleport
+                y(i) = d0 * gx(i) + teleport
                 diff += math.abs(y(i) - old.values(i))
                 zdot += zc.values(i) * y(i)
                 i += 1
               }
               accErr.add(diff); accZx.add(zdot)
-              RankChunk(old.blockId, old.loVid, y)
+              Iterator.single(RankChunk(old.blockId, old.loVid, y))
             }
-          val (nextDs, nextRdd) = pin(stepped)
+          }
+          val nextP = pinRdd(next)
           xRdd.unpersist(false)
-          x = nextDs; xRdd = nextRdd
+          xRdd = nextP
           error = accErr.value
           zx = accZx.value
       }
@@ -418,55 +505,38 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
       cfg.checkpointDir.foreach { dir =>
         if (done || iteration % cfg.checkpointEvery == 0)
           CheckpointManager.write(graph, dir, iteration, error,
-            metrics.takeRight(cfg.checkpointEvery).toSeq, x)
+            metrics.takeRight(cfg.checkpointEvery).toSeq, spark.createDataset(xRdd))
       }
     }
 
-    val finalRanks = cfg.mode match {
+    val finalRdd = cfg.mode match {
       case PageRankMode.MolerDangling =>
-        val s = x.map(_.values.sum).reduce(_ + _)
-        val out = pin(x.map(c => RankChunk(c.blockId, c.loVid, c.values.map(_ / s))))._1
+        val s = xRdd.map(_.values.sum).sum()
+        val out = pinRdd(xRdd.map(c => RankChunk(c.blockId, c.loVid, c.values.map(_ / s))))
         xRdd.unpersist(false)
         out
-      case _ => x
+      case _ => xRdd
     }
     PageRankOutcome(
-      finalRanks,
+      spark.createDataset(finalRdd),
       PageRankRun(iteration, converged, error, (System.nanoTime() - t0) / 1e9, n, graph.numEdges),
-      metrics.toSeq)
+      metrics.toSeq,
+      () => { finalRdd.unpersist(false); () })
   }
 
-  private def dot(a: Dataset[RankChunk], b: Dataset[RankChunk]): Double =
-    a.joinWith(b, a("blockId") === b("blockId"))
-      .map { case (ac, bc) =>
+  /** Dot product of two identically block-laid-out chunk RDDs (no shuffle). */
+  private def dotRdd(a: RDD[RankChunk], b: RDD[RankChunk]): Double =
+    a.zipPartitions(b) { (ai, bi) =>
+      if (!ai.hasNext || !bi.hasNext) Iterator.empty
+      else {
+        val ac = ai.next()
+        val bc = bi.next()
         var s = 0.0
         var i = 0
         while (i < ac.values.length) { s += ac.values(i) * bc.values(i); i += 1 }
-        s
+        Iterator.single(s)
       }
-      .reduce(_ + _)
-
-  /** The gather-scatter matvec for the distributed regime: contribution sums
-    * per src, chunked by src block — `G @ D @ x` (pagerank.py:194) under the
-    * §1.3 orientation. Only the rank chunks shuffle; the adjacency is cached.
-    */
-  private def contributionChunks(x: Dataset[RankChunk]): Dataset[RankChunk] = {
-    val bs = graph.blockSize
-    val nv = n
-    graph.adjParts
-      .joinWith(x, graph.adjParts("blockId") === x("blockId"))
-      .flatMap { case (part, chunk) =>
-        PageRankEngine.scatter(part, i => chunk.values(i), bs)
-      }
-      .groupByKey(_.blockId)
-      .mapGroups { (blockId, it) =>
-        val lo = blockId.toLong * bs
-        val len = math.min(bs, nv - lo).toInt
-        val arr = new Array[Double](len)
-        it.foreach(c => arr(c.local) += c.value)
-        RankChunk(blockId, lo, arr)
-      }
-  }
+    }.sum()
 }
 
 object PageRankEngine {
@@ -495,30 +565,6 @@ object PageRankEngine {
       }
       out(part.keys(i)) += s // += — a key's edges may straddle split parts
       i += 1
-    }
-  }
-
-  /** Scatter one dst-major part (distributed regime): for each local dst slot
-    * with x != 0, add wNorm * x[dst] to every src; pre-combined in an
-    * open-address map.
-    */
-  private[engine] def scatter(part: AdjPart, xAt: Int => Double, blockSize: Long): Iterator[Contrib] = {
-    val map = new LongDoubleMap(math.min(part.adj.length * 2 + 8, 1 << 22))
-    var i = 0
-    while (i < part.keys.length) {
-      val xv = xAt(part.keys(i))
-      if (xv != 0.0) {
-        var j = part.offsets(i)
-        val end = part.offsets(i + 1)
-        while (j < end) {
-          map.add(part.adj(j), part.wNorm(j) * xv)
-          j += 1
-        }
-      }
-      i += 1
-    }
-    map.iterator.map { case (src, v) =>
-      Contrib((src / blockSize).toInt, (src % blockSize).toInt, v)
     }
   }
 }

@@ -86,13 +86,47 @@ final class LinkGraph(
   }
 
   /** dst-major (CSC-like) parts: keys = dst slots, adj = srcs. Columnar cache
-    * (joined per superstep by the distributed regime).
+    * (general-purpose; the distributed superstep uses [[adjPartsByBlock]]).
     */
   lazy val adjParts: Dataset[AdjPart] = {
     val cached = buildParts("dst", "src").persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
     cached
   }
+
+  /** Identity partitioner for vertex blocks: blockId b → partition b.
+    * (HashPartitioner on non-negative Int keys is the identity mod numBlocks,
+    * and blockIds are 0..numBlocks-1.)
+    */
+  def blockPartitioner: org.apache.spark.HashPartitioner =
+    new org.apache.spark.HashPartitioner(numBlocks)
+
+  /** dst-major parts CO-PARTITIONED by blockId: partition b holds exactly the
+    * parts of block b, cached DESERIALIZED once. The distributed superstep
+    * zipPartitions this against identically-laid-out rank chunks, so the
+    * adjacency NEVER moves after this one build-time shuffle — only the
+    * O(n)-sized rank/contribution chunks cross the wire each superstep.
+    * (Round-1 regression: joining the cached `adjParts` Dataset per superstep
+    * erased its partitioning through MapPartitions and the planner broadcast /
+    * sort-merged the whole adjacency every iteration.)
+    */
+  @volatile private var adjPartsByBlockBuilt = false
+  lazy val adjPartsByBlock: org.apache.spark.rdd.RDD[(Int, AdjPart)] = {
+    val rdd = buildParts("dst", "src").rdd
+      .map(p => (p.blockId, p))
+      .partitionBy(blockPartitioner)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    adjPartsByBlockBuilt = true
+    rdd
+  }
+
+  /** Lay a chunk RDD out on [[blockPartitioner]]: partition b = block b's
+    * single chunk. All per-superstep transforms are partition-local, so the
+    * layout survives the whole loop without further shuffles.
+    */
+  def toBlockLayout(ds: Dataset[RankChunk]): org.apache.spark.rdd.RDD[RankChunk] =
+    ds.rdd.map(c => (c.blockId, c)).partitionBy(blockPartitioner).values
 
   /** src-major (CSR-like) parts: keys = src slots, adj = dsts — persisted as a
     * DESERIALIZED object RDD: the resident-regime kernel scans it every
@@ -172,6 +206,7 @@ final class LinkGraph(
 
   def unpersistAll(): Unit = {
     adjParts.unpersist()
+    if (adjPartsByBlockBuilt) adjPartsByBlock.unpersist(false)
     gatherPartsRdd.unpersist()
     inDegrees.unpersist()
     degreeTable.unpersist()

@@ -12,13 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column (whitespace split, single spaces). */
+  /** Word n-gram shingles of a text column (whitespace split, single spaces).
+    * Docs with fewer than n words yield an EMPTY array — the size guard is
+    * load-bearing: without it `sequence(1, 0)` defaults its step to -1
+    * (producing [1, 0]) and `slice(words, 0, n)` throws
+    * INVALID_PARAMETER_VALUE.START on any short/empty document.
+    */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, "\\s+")
-    val count = greatest(size(words) - (n - 1), lit(0))
-    transform(
-      sequence(lit(1), count),
-      i => array_join(slice(words, i, lit(n)), " "))
+    when(
+      size(words) >= n,
+      transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact duplicates: group by full text; every group of size > 1 is a
@@ -49,7 +56,7 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxDocsPerShingle: Int = 10000
+      maxDocsPerShingle: Int = 500
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -57,8 +64,19 @@ object Dedup {
       .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
       .distinct()
     val sizes = ds.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val shingleDf = ds.groupBy($"sh").agg(count(lit(1)).as("df"))
+    // A single hot shingle with document frequency f admits f·(f−1)/2 candidate
+    // pairs — at f = 10⁴ that is 5·10⁷ pairs from ONE token. The cap drops such
+    // stop-token shingles from candidate generation (they carry ~no Jaccard
+    // signal anyway); dropped counts are reported so silent truncation is
+    // visible to the operator.
+    val dropped = shingleDf.filter($"df" > maxDocsPerShingle).count()
+    if (dropped > 0)
+      System.err.println(
+        s"[graft] jaccardPairs: dropped $dropped hot shingles (df > $maxDocsPerShingle); " +
+          "pairs supported ONLY by dropped shingles are not generated")
     val kept = ds.join(
-      ds.groupBy($"sh").agg(count(lit(1)).as("df"))
+      shingleDf
         .filter($"df" <= maxDocsPerShingle && $"df" >= 2)
         .select($"sh"),
       Seq("sh"))
@@ -102,10 +120,14 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val numHashes = bands * rowsPerBand
+    // Guard on the SHINGLE count, not size(sig): the signature is always a
+    // numHashes-length array (entries are NULL when the shingle set is empty
+    // because array_min over an empty array is NULL), so size(sig) > 0 would
+    // pass every empty doc and collide them all into shared band buckets.
     val sigs = docs
+      .filter(size(shingles(col(textCol), n)) > 0)
       .select(col(idCol).as("doc_id"),
         minhashSignature(col(textCol), n, numHashes).as("sig"))
-      .filter(size($"sig") > 0)
     val banded = sigs.select(
       $"doc_id", $"sig",
       explode(

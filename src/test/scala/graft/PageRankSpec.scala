@@ -87,6 +87,43 @@ class PageRankSpec extends GraftSuite {
     } finally PageRankEngine.BroadcastThresholdBytes = saved
   }
 
+  test("distributed superstep never moves the adjacency: shuffle volume is rank-sized") {
+    // Dense-ish graph: avg degree 50, so edge volume >> vertex volume. If a
+    // superstep re-shuffled (or sort-merge-joined) the adjacency, per-superstep
+    // shuffle rows would be O(edges); the co-partitioned zipPartitions design
+    // bounds them by numBlocks·n pre-combined contribution rows.
+    val saved = PageRankEngine.BroadcastThresholdBytes
+    try {
+      PageRankEngine.BroadcastThresholdBytes = 0L // force the distributed regime
+      val n = 400
+      val edges = DenseReference.randomEdges(n, 0.125, seed = 7)
+      val g = graphOf(edges, numBlocks = 8)
+      val numEdges = g.numEdges
+      assert(numEdges > 10000L, s"fixture should be dense, got $numEdges edges")
+
+      // layout invariant: partition b of the cached adjacency holds ONLY block b
+      val misplaced = g.adjPartsByBlock
+        .mapPartitionsWithIndex { (pid, it) => it.filter(_._2.blockId != pid).map(_ => 1) }
+        .count()
+      assert(misplaced == 0L, "adjPartsByBlock must be identity-partitioned by blockId")
+
+      val out = PageRank.run(g, damping = 0.85, tolerance = 0.0, maxIterations = 5)
+      val steady = out.metrics.drop(1) // first superstep includes layout builds
+      steady.foreach { m =>
+        val bound = g.numBlocks.toLong * n
+        assert(m.shuffleWriteRows <= bound,
+          s"superstep ${m.superstep}: ${m.shuffleWriteRows} shuffle rows > contribution bound $bound")
+        assert(m.shuffleWriteRows < numEdges / 2,
+          s"superstep ${m.superstep}: shuffle rows ${m.shuffleWriteRows} scale with edges ($numEdges) — adjacency moved")
+      }
+      // and it is still exactly the reference kernel
+      val (want, _, _, _) = DenseReference.pagerank(n, edges, 0.85, 0.0, 5)
+      assertAllClose(ranksArray(g, out), want, 1e-12)
+      out.free()
+      g.unpersistAll()
+    } finally PageRankEngine.BroadcastThresholdBytes = saved
+  }
+
   test("cross-algorithm agreement: power iteration vs dense direct solve (reference §3.4)") {
     // strongly-connected fixtures (no dangling) — all three formulations agree
     for ((name, edges) <- Seq("twoCycle" -> twoCycle, "dupes" -> dupes)) {
