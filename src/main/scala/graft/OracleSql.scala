@@ -95,12 +95,11 @@ object OracleSql {
        |WHERE rank <= 10 OR (rank % 10 = 0 AND rank <= 1000)
        |ORDER BY rank""".stripMargin
 
-  /** Unrolled reference-mode PageRank: k fixed supersteps of
+  /** Unrolled reference-mode PageRank CTE chain ending in x$k (id, v):
     * y = d·(GDx) + ((1-d)/n)·sum(x);  x' = y / sum(y)   (pagerank.py:194-197).
     */
-  def pagerankUnrolled(k: Int, damping: Double = 0.85, roundTo: Int = 8): String = {
+  private def pagerankCtes(k: Int, damping: Double = 0.85): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH $prelude,\n"
     sb ++= "x0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS v FROM verts)"
     for (i <- 1 to k) {
       val p = i - 1
@@ -118,9 +117,132 @@ object OracleSql {
         |),
         |x$i AS MATERIALIZED (SELECT id, y / (SELECT sum(y) FROM y$i) AS v FROM y$i)""".stripMargin
     }
-    sb ++= s"\nSELECT id, round(v, $roundTo) AS rank FROM x$k ORDER BY id"
     sb.toString
   }
+
+  def pagerankUnrolled(k: Int, damping: Double = 0.85, roundTo: Int = 8): String =
+    s"""WITH $prelude,
+       |${pagerankCtes(k, damping)}
+       |SELECT id, round(v, $roundTo) AS rank FROM x$k ORDER BY id""".stripMargin
+
+  /** Unrolled PageRank over the induced prefix subgraph: the `prefix` smallest
+    * vertex ids and the edges among them (G[:k,:k] dense-slice semantics —
+    * isolated prefix vertices keep their teleport-only rank).
+    */
+  def pagerankPrefixUnrolled(prefix: Int, k: Int, damping: Double = 0.85, roundTo: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $prelude,\n"
+    sb ++=
+      s"""pverts AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT $prefix),
+         |pn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pverts),
+         |pe AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.weight
+         |  FROM e JOIN pverts a ON a.id = e.src JOIN pverts b ON b.id = e.dst
+         |),
+         |pindeg AS MATERIALIZED (SELECT dst AS id, sum(weight) AS d FROM pe GROUP BY 1),
+         |px0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM pn) AS v FROM pverts)""".stripMargin
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb ++= s""",
+        |pgx$i AS MATERIALIZED (
+        |  SELECT pe.src AS id, sum(pe.weight / cd.d * xp.v) AS g
+        |  FROM pe JOIN pindeg cd ON cd.id = pe.dst JOIN px$p xp ON xp.id = pe.dst
+        |  GROUP BY 1
+        |),
+        |py$i AS MATERIALIZED (
+        |  SELECT v.id,
+        |         $damping * coalesce(g.g, 0.0)
+        |           + ((1.0 - $damping) / (SELECT n FROM pn)) * (SELECT sum(v) FROM px$p) AS y
+        |  FROM pverts v LEFT JOIN pgx$i g ON g.id = v.id
+        |),
+        |px$i AS MATERIALIZED (SELECT id, y / (SELECT sum(y) FROM py$i) AS v FROM py$i)""".stripMargin
+    }
+    sb ++= s"\nSELECT id, round(v, $roundTo) AS rank FROM px$k ORDER BY id"
+    sb.toString
+  }
+
+  /** Key providers (pagerank.py:444-455): vertices above the p90 of
+    * out-degree / in-degree / fixed-k PageRank score respectively.
+    */
+  def keyProviders(k: Int): String =
+    s"""WITH $prelude,
+       |${pagerankCtes(k)},
+       |kp AS MATERIALIZED (
+       |  SELECT d.id, coalesce(x.v, 0.0) AS score, d.outd, d.ind
+       |  FROM deg d LEFT JOIN x$k x ON x.id = d.id
+       |),
+       |kthr AS MATERIALIZED (
+       |  SELECT quantile_cont(outd, 0.9) AS hub,
+       |         quantile_cont(ind, 0.9) AS auth,
+       |         quantile_cont(score, 0.9) AS cent
+       |  FROM kp
+       |)
+       |SELECT id, round(score, 9) AS centrality_score,
+       |       outd AS referrals_out, ind AS referrals_in,
+       |       outd > (SELECT hub FROM kthr) AS is_hub,
+       |       ind > (SELECT auth FROM kthr) AS is_authority,
+       |       score > (SELECT cent FROM kthr) AS is_central
+       |FROM kp
+       |WHERE outd > (SELECT hub FROM kthr)
+       |   OR ind > (SELECT auth FROM kthr)
+       |   OR score > (SELECT cent FROM kthr)
+       |ORDER BY id""".stripMargin
+
+  /** High-risk provider records (pagerank.py:364-386): above the p90 of
+    * propagated risk, with amplification and empirical-CDF percentile.
+    */
+  def highRisk(k: Int): String =
+    s"""WITH $prelude,
+       |${riskCtes(k)},
+       |xr AS MATERIALIZED (
+       |  SELECT x.id, x.v AS x, r.v AS r0v FROM rk$k x JOIN r0 r ON r.id = x.id
+       |),
+       |hthr AS MATERIALIZED (SELECT quantile_cont(x, 0.9) AS t FROM xr),
+       |hcdf AS MATERIALIZED (
+       |  SELECT id, x, r0v, cume_dist() OVER (ORDER BY x) * 100.0 AS pct FROM xr
+       |)
+       |SELECT id, round(x, 9) AS risk_score, round(r0v, 9) AS original_risk,
+       |       round(CASE WHEN r0v > 0 THEN x / r0v ELSE 1.0 END, 6) AS amplification_factor,
+       |       round(pct, 6) AS risk_percentile
+       |FROM hcdf WHERE x > (SELECT t FROM hthr) ORDER BY id""".stripMargin
+
+  /** Pearson correlation of propagated risk (k risk supersteps) with PageRank
+    * (kPr supersteps) — visualizations.py:442-448.
+    */
+  def riskCorr(kRisk: Int, kPr: Int): String =
+    s"""WITH $prelude,
+       |${pagerankCtes(kPr)},
+       |${riskCtes(kRisk)}
+       |SELECT round(corr(r.v, p.v), 6) AS risk_pagerank_corr
+       |FROM rk$kRisk r JOIN x$kPr p ON p.id = r.id""".stripMargin
+
+  /** Outlier-trimmed histogram: band-filter totals to [q1, q99], then bin
+    * (visualizations.py:232-236 trim-then-hist).
+    */
+  def histTrimmed(bins: Int): String =
+    s"""WITH $prelude,
+       |band AS MATERIALIZED (
+       |  SELECT totd FROM deg
+       |  WHERE totd BETWEEN (SELECT quantile_cont(totd, 0.01) FROM deg)
+       |                 AND (SELECT quantile_cont(totd, 0.99) FROM deg)
+       |),
+       |bmm AS MATERIALIZED (SELECT min(totd) AS lo, max(totd) AS hi FROM band),
+       |bw AS MATERIALIZED (
+       |  SELECT CASE WHEN hi > lo THEN (hi - lo) / $bins ELSE 1.0 END AS width, lo FROM bmm
+       |)
+       |SELECT CAST(least(floor((totd - (SELECT lo FROM bw)) / (SELECT width FROM bw)), ${bins - 1}) AS BIGINT) AS bin,
+       |       CAST(count(*) AS BIGINT) AS cnt
+       |FROM band GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Top-10 by degree with display formatting: provider label (F6) and
+    * log10 scale value (F3) — the reference's print/plot formatting
+    * (pagerank.py:377-383, log-scale axes in visualizations.py).
+    */
+  val topFormatted: String =
+    s"""WITH $prelude
+       |SELECT printf('P%08d', id) AS provider_label, id, totd AS total_deg,
+       |       round(log10(totd), 6) AS log10_deg
+       |FROM deg ORDER BY totd DESC, id LIMIT 10""".stripMargin
 
   /** Composite-risk prior (pagerank.py:690-713) as CTEs ending in r0 (id, v). */
   private val compositeRiskCtes: String =

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, PrefixStudy, TriangleCount}
 import graft.analytics.NetworkAnalytics
 import graft.graph.LinkGraph
 import graft.multimodal.Multimodal
@@ -193,11 +193,81 @@ object SparkEntry {
           round($"clustering_coeff", 6).as("clustering_coeff"))
         .orderBy($"id")
     },
+    "q_key_providers" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      val out = PageRank.run(graph, damping = 0.85, tolerance = 0.0, maxIterations = 8)
+      TestdataGraph.withExtId(graph, NetworkAnalytics.keyProviders(graph, out.toVertexDf(graph)))
+        .select($"extId".as("id"),
+          round($"centrality_score", 9).as("centrality_score"),
+          $"referrals_out", $"referrals_in",
+          $"is_hub", $"is_authority", $"is_central")
+        .orderBy($"id")
+    },
+    "q_high_risk" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      val prior = NetworkAnalytics.compositeRisk(graph)
+      val out = PageRank.propagateRisk(graph, prior, damping = 0.95, tolerance = 0.0, maxIterations = 6)
+      TestdataGraph.withExtId(graph, NetworkAnalytics.highRiskProviders(out.toVertexDf(graph), prior))
+        .select($"extId".as("id"),
+          round($"risk_score", 9).as("risk_score"),
+          round($"original_risk", 9).as("original_risk"),
+          round($"amplification_factor", 6).as("amplification_factor"),
+          round($"risk_percentile", 6).as("risk_percentile"))
+        .orderBy($"id")
+    },
+    "q_risk_corr" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      val prior = NetworkAnalytics.compositeRisk(graph)
+      val risk = PageRank.propagateRisk(graph, prior, damping = 0.95, tolerance = 0.0, maxIterations = 6)
+        .toVertexDf(graph)
+      val pr = PageRank.run(graph, damping = 0.85, tolerance = 0.0, maxIterations = 8)
+        .toVertexDf(graph)
+      risk.select($"vid", $"value".as("r"))
+        .join(pr.select($"vid", $"value".as("p")), Seq("vid"))
+        .agg(round(corr($"r", $"p"), 6).as("risk_pagerank_corr"))
+    },
+    "q_prefix_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val graph = g(s, dir)
+      val sub = graph.inducedPrefix(300L)
+      val out = PageRank.run(sub, damping = 0.85, tolerance = 0.0, maxIterations = 8)
+      out.toVertexDf(sub)
+        .join(graph.vertexDict.toDF("id", "v"), $"vid" === $"v")
+        .select($"id", round($"value", 8).as("rank"))
+        .orderBy($"id")
+    },
+    // wall-times are non-deterministic: rows-only check
+    "q_prefix_study" -> { (s, dir) =>
+      import s.implicits._
+      PrefixStudy.run(g(s, dir), Seq(100L, 1000L, Long.MaxValue), tolerance = 1e-8)
+        .map(r => (r.prefix, r.nodes, r.edges, r.solver, r.iterations, r.converged))
+        .toDF("prefix", "nodes", "edges", "solver", "iterations", "converged")
+    },
+    "q_hist_trimmed" -> { (s, dir) =>
+      import s.implicits._
+      val deg = g(s, dir).degreeTable.select(($"inDeg" + $"outDeg").as("totalDeg"))
+      NetworkAnalytics.trimmedHistogram(deg, "totalDeg", 20, 0.01, 0.99)
+        .select($"bin", $"cnt").orderBy($"bin")
+    },
+    "q_top_formatted" -> { (s, dir) =>
+      import s.implicits._
+      g(s, dir).degreeTable
+        .select($"extId".as("id"), ($"inDeg" + $"outDeg").as("total_deg"))
+        .orderBy($"total_deg".desc, $"id")
+        .limit(10)
+        .select(
+          format_string("P%08d", $"id").as("provider_label"),
+          $"id", $"total_deg",
+          round(log10($"total_deg"), 6).as("log10_deg"))
+    },
     // convergence sweep is tolerance-driven (not SQL-expressible): rows-only check
     "q_convergence_sweep" -> { (s, dir) =>
       import s.implicits._
       val graph = g(s, dir)
-      PageRank.convergenceSweep(graph, Seq(1e-4, 1e-6, 1e-8))
+      PageRank.convergenceSweep(graph, Seq(1e-4, 1e-6, 1e-8, 1e-10))
         .map(r => (r.tolerance, r.iterations, r.converged))
         .toDF("tolerance", "iterations", "converged")
     },
@@ -249,10 +319,14 @@ object SparkEntry {
       TextAnalytics.fingerprints(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
     },
     // ---- embeddings: similarity search ----
+    // LSH-bucketed candidate generation + exact cosine verify (no cartesian in
+    // the plan); the pre-filter sits just below the rounded contract threshold
+    // so the final round()-filter is identical to the oracle's
     "q_embedding_pairs" -> { (s, dir) =>
       import s.implicits._
-      Dedup.embeddingPairs(emb(s, dir).select($"vec_id".as("id"), $"embedding".as("vec")),
-          "id", "vec", threshold = 0.0)
+      Ann.cosinePairsLsh(
+          emb(s, dir).select($"vec_id".as("id"), $"embedding".as("vec")),
+          threshold = 0.39, dim = 64)
         .select($"a", $"b", round($"cosine", 6).as("cosine"))
         .filter(round($"cosine", 6) >= 0.4)
         .orderBy($"a", $"b")
@@ -309,6 +383,12 @@ object SparkEntry {
     "q_composite_risk" -> OracleSql.compositeRisk,
     "q_risk_k6" -> OracleSql.riskUnrolled(6),
     "q_risk_stats_k6" -> OracleSql.riskStats(6),
+    "q_key_providers" -> OracleSql.keyProviders(8),
+    "q_high_risk" -> OracleSql.highRisk(6),
+    "q_risk_corr" -> OracleSql.riskCorr(6, 8),
+    "q_prefix_pagerank" -> OracleSql.pagerankPrefixUnrolled(300, 8),
+    "q_hist_trimmed" -> OracleSql.histTrimmed(20),
+    "q_top_formatted" -> OracleSql.topFormatted,
     "q_cc" -> OracleSql.connectedComponents,
     "q_lpa_k4" -> OracleSql.lpaUnrolled(4),
     "q_triangles" -> OracleSql.trianglesPerVertex,

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 import graft.graph.LinkGraph
 
 /** The reference's relational analytics re-expressed as Catalyst plans.
-  * Every percentile is Spark SQL `percentile` — exact, the same
-  * linear-interpolation definition as np.percentile (never percentile_approx:
-  * it breaks 1e-6 parity). NumPy std is population σ → `stddev_pop`, not
-  * Spark's default sample stddev. Medians are exact percentile(.5).
+  * Every percentile is EXACT with np.percentile's linear-interpolation rule
+  * (never percentile_approx: it breaks 1e-6 parity), computed distributed by
+  * [[percentilesExact]] — a two-phase ranked sum over distinct values, so no
+  * single task ever holds all n values (SQL `percentile` is one
+  * ObjectHashAggregate buffer: 8 GB in one task at 10⁹ vertices). NumPy std
+  * is population σ → `stddev_pop`, not Spark's default sample stddev.
   * Threshold-dependent aggregates run as two phases (percentile scalars
   * first, then the conditional agg with literal thresholds) because SQL
   * forbids nesting aggregates.
@@ -63,9 +65,96 @@ object NetworkAnalytics {
     Seq(g).toDF("gini")
   }
 
-  /** Exact percentile via SQL `percentile` (linear interpolation, NumPy-equal). */
+  /** Sorted distinct values with global cumulative counts, computed with the
+    * gini-style two-phase pattern (range-partition → local prefix sums →
+    * exclusive-prefix offsets) — NO single-partition window, no single-task
+    * ObjectHashAggregate holding all n values. Returns (frame of
+    * (__v, __c, __cum), total row count, release handle).
+    *
+    * The sorted frame is persisted before the offsets job because
+    * repartitionByRange SAMPLES its bounds per materialization — two
+    * evaluations could disagree on partition boundaries and corrupt the
+    * offsets. Callers that fully consume the result eagerly should call the
+    * release handle; lazy consumers leave the (distinct-values-sized) cache
+    * in place.
+    */
+  private def cumulativeCounts(df: DataFrame, valueCol: String): (DataFrame, Long, () => Unit) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .groupBy($"__v")
+      .agg(count(lit(1)).as("__c"))
+    val p = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = counts
+      .repartitionByRange(p, $"__v")
+      .sortWithinPartitions($"__v")
+      .as[(Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = sorted
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var s = 0L
+        var any = false
+        it.foreach { case (_, c) => s += c; any = true }
+        if (any) Iterator.single((pid, s)) else Iterator.empty
+      }
+      .collect()
+      .sortBy(_._1)
+    val n = partTotals.map(_._2).sum
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      partTotals.map { case (pid, c) => val r = (pid, acc); acc += c; r }.toMap
+    val bo = spark.sparkContext.broadcast(offsets)
+    val cum = sorted
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = bo.value.getOrElse(pid, 0L)
+        it.map { case (v, c) => run += c; (v, c, run) }
+      }
+      .toDF("__v", "__c", "__cum")
+    (cum, n, () => { sorted.unpersist(); () })
+  }
+
+  /** Exact NumPy-interpolation percentiles, distributed: the value owning each
+    * boundary index is found by an index-range probe against the cumulative
+    * counts (value v owns global 0-based row indices [__cum-__c, __cum)), then
+    * vlo + g·(vhi − vlo) with t = (n−1)·p, g = t − ⌊t⌋ — exactly
+    * np.percentile's linear rule and SQL `percentile`'s, without any single
+    * task ever holding all n values.
+    */
+  def percentilesExact(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[Double] = {
+    require(ps.nonEmpty, "need at least one percentile")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (cum, n, release) = cumulativeCounts(df, valueCol)
+    require(n > 0, s"percentile of empty column $valueCol")
+    val targets = ps
+      .flatMap { p =>
+        val t = (n - 1) * p
+        Seq(math.floor(t).toLong, math.ceil(t).toLong)
+      }
+      .distinct
+    val idxDf = targets.toDF("__i")
+    val found = cum
+      .join(broadcast(idxDf), col("__i") >= col("__cum") - col("__c") && col("__i") < col("__cum"))
+      .select($"__i", $"__v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    release()
+    ps.map { p =>
+      val t = (n - 1) * p
+      val lo = math.floor(t).toLong
+      val vlo = found(lo)
+      val vhi = found(math.ceil(t).toLong)
+      vlo + (vhi - vlo) * (t - lo)
+    }
+  }
+
+  /** Exact percentile (linear interpolation, NumPy-equal), distributed. */
   def percentileOfExact(df: DataFrame, valueCol: String, p: Double): Double =
-    df.agg(percentile(col(valueCol), lit(p))).first().getDouble(0)
+    percentilesExact(df, valueCol, Seq(p)).head
 
   /** network_metrics block (pagerank.py:459-486) as a single-row DataFrame.
     * Degrees are weighted row/column sums over the folded matrix, zero-filled
@@ -78,24 +167,24 @@ object NetworkAnalytics {
     val nnz = graph.numEdges // distinct (src,dst) pairs = G.nnz
     val n = graph.numVertices
 
-    val thr = deg.agg(
-      percentile($"outDeg", lit(0.9)).as("p90out"),
-      percentile($"inDeg", lit(0.9)).as("p90in"),
-      percentile($"totalDeg", lit(0.95)).as("p95tot")).first()
-    val (p90out, p90in, p95tot) = (thr.getDouble(0), thr.getDouble(1), thr.getDouble(2))
+    // thresholds + medians via the distributed exact percentile (a single
+    // ObjectHashAggregate `percentile` holds all n doubles in one task)
+    val Seq(p90out, medOut) = percentilesExact(deg, "outDeg", Seq(0.9, 0.5))
+    val Seq(p90in, medIn) = percentilesExact(deg, "inDeg", Seq(0.9, 0.5))
+    val p95tot = percentileOfExact(deg, "totalDeg", 0.95)
 
     deg.agg(
       lit(n).as("total_providers"),
       lit(nnz).as("total_referrals"),
       lit(if (n > 1) nnz.toDouble / (n.toDouble * (n - 1)) else 0.0).as("network_density"),
       avg($"outDeg").as("average_referrals_out"),
-      percentile($"outDeg", lit(0.5)).as("median_referrals_out"),
+      lit(medOut).as("median_referrals_out"),
       stddev_pop($"outDeg").as("std_referrals_out"),
       max($"outDeg").cast("long").as("max_referrals_out"),
       (sum(when($"outDeg" > lit(p90out), 1L).otherwise(0L)).cast("double") / lit(n.toDouble))
         .as("referral_concentration_out"),
       avg($"inDeg").as("average_referrals_in"),
-      percentile($"inDeg", lit(0.5)).as("median_referrals_in"),
+      lit(medIn).as("median_referrals_in"),
       stddev_pop($"inDeg").as("std_referrals_in"),
       max($"inDeg").cast("long").as("max_referrals_in"),
       (sum(when($"inDeg" > lit(p90in), 1L).otherwise(0L)).cast("double") / lit(n.toDouble))
@@ -143,15 +232,11 @@ object NetworkAnalytics {
       .join(prior.select($"vid", $"value".as("r0")), Seq("vid"))
       .withColumn("amp", when($"r0" > 0, $"x" / $"r0").otherwise(lit(1.0)))
 
-    val thr = joined.agg(
-      percentile($"x", lit(0.9)).as("t90"),
-      percentile($"x", lit(0.95)).as("t95"),
-      percentile($"x", lit(0.99)).as("t99")).first()
-    val (t90, t95, t99) = (thr.getDouble(0), thr.getDouble(1), thr.getDouble(2))
+    val Seq(t90, t95, t99, medRisk) = percentilesExact(joined, "x", Seq(0.9, 0.95, 0.99, 0.5))
 
     joined.agg(
       avg($"x").as("mean_risk"),
-      percentile($"x", lit(0.5)).as("median_risk"),
+      lit(medRisk).as("median_risk"),
       stddev_pop($"x").as("std_risk"),
       max($"x").as("max_risk"),
       min($"x").as("min_risk"),
@@ -218,6 +303,27 @@ object NetworkAnalytics {
       .orderBy($"vid")
   }
 
+  /** Band (quantile-trim) filter: keep rows with value inside the
+    * [loQ, hiQ] percentile band — the reference trims q1..q99 outliers before
+    * plotting distributions (visualizations.py:232-234, :824-826).
+    */
+  def bandFilter(df: DataFrame, valueCol: String, loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
+    val Seq(lo, hi) = percentilesExact(df, valueCol, Seq(loQ, hiQ))
+    df.filter(col(valueCol).cast("double").between(lo, hi))
+  }
+
+  /** Outlier-trimmed histogram: band-filter to the [loQ, hiQ] percentile band,
+    * then bin what remains (visualizations.py:232-236 trim-then-hist shape).
+    */
+  def trimmedHistogram(
+      df: DataFrame,
+      valueCol: String,
+      bins: Int,
+      loQ: Double = 0.01,
+      hiQ: Double = 0.99
+  ): DataFrame =
+    histogram(bandFilter(df, valueCol, loQ, hiQ), valueCol, bins)
+
   /** Fixed-bin equi-width histogram over observed [min, max] — matplotlib
     * semantics: the max value falls in the LAST bin (right edge inclusive).
     * (visualizations.py:236 etc.) Returns (bin, lo, hi, cnt) sorted by bin.
@@ -259,22 +365,13 @@ object NetworkAnalytics {
   }
 
   /** Empirical CDF percentile (pagerank.py:371): share of values <= v, ×100.
-    * The running total is windowed over DISTINCT values only (then joined
-    * back), so the single-partition window touches |distinct values| rows,
-    * not n — degrees and scores are heavily tied at scale. Fully general
-    * inputs with ~n distinct values should pre-bucket first.
+    * Fully distributed: the cumulative totals come from the two-phase ranked
+    * sum over distinct values (no single-partition window — round 1 fed ~n
+    * distinct propagated-risk doubles through one task here), then join back.
     */
   def percentileRank(df: DataFrame, valueCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val n = df.count().toDouble
-    val cum = df
-      .groupBy(col(valueCol).as("__v"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__cum",
-        sum($"__c").over(
-          Window.orderBy($"__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select($"__v", ($"__cum" / lit(n) * 100.0).as("pct_rank"))
-    df.join(cum, col(valueCol) === col("__v")).drop("__v")
+    val (cum, n, _) = cumulativeCounts(df, valueCol)
+    val pct = cum.select(col("__v"), (col("__cum") / lit(n.toDouble) * 100.0).as("pct_rank"))
+    df.join(pct, col(valueCol).cast("double") === col("__v")).drop("__v")
   }
 }

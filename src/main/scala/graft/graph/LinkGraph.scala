@@ -204,6 +204,29 @@ final class LinkGraph(
       .flatMap { c => c.values.iterator.zipWithIndex.map { case (v, i) => (c.loVid + i, v) } }
       .toDF("vid", "value")
 
+  /** Edges of the induced subgraph on an arbitrary vertex subset — a
+    * left-semi join on each endpoint, so the (potentially huge) edge table
+    * streams once against the membership set and no edge payload is joined
+    * in (reference: boolean row/col masking, visualizations.py:110).
+    */
+  def inducedSubgraphEdges(vids: DataFrame): Dataset[Edge] = {
+    val members = vids.select($"vid".cast("long").as("__m"))
+    edges
+      .join(members, $"src" === $"__m", "left_semi")
+      .join(members, $"dst" === $"__m", "left_semi")
+      .as[Edge]
+  }
+
+  /** Induced prefix subgraph G[:k,:k] in dense vid space — all k vertices
+    * kept, isolated ones included, exactly the reference's dense slice
+    * (original_pagerank/pagerank.py:185). Because vids are assigned ascending
+    * by extId, the prefix is equivalently "the k smallest external ids".
+    */
+  def inducedPrefix(k: Long): LinkGraph = {
+    val kk = math.min(k, numVertices)
+    LinkGraph.fromDenseWeighted(spark, edges.filter($"src" < kk && $"dst" < kk), kk)
+  }
+
   def unpersistAll(): Unit = {
     adjParts.unpersist()
     if (adjPartsByBlockBuilt) adjPartsByBlock.unpersist(false)

@@ -35,6 +35,42 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("distributed percentiles match numpy on a 10k multi-partition fixture") {
+    val rng = new scala.util.Random(3)
+    val big = Array.fill(10000)(math.floor(rng.nextDouble() * 4000.0) / 4.0 - 500.0) // heavy ties
+    val df = big.toSeq.toDF("v").repartition(7)
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.95, 0.99, 1.0)
+    val got = NetworkAnalytics.percentilesExact(df, "v", ps)
+    val sorted = big.sorted
+    ps.zip(got).foreach { case (p, g) =>
+      val want = npPercentile(sorted, p * 100)
+      assert(math.abs(g - want) <= 1e-9 * math.max(1.0, math.abs(want)), s"p=$p got $g want $want")
+    }
+  }
+
+  test("percentileRank is the empirical CDF (share <= v, x100), no global window") {
+    val df = vals.toSeq.toDF("v")
+    val got = NetworkAnalytics.percentileRank(df, "v")
+      .select($"v", $"pct_rank").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    vals.distinct.foreach { v =>
+      val want = vals.count(_ <= v).toDouble / vals.length * 100.0
+      assert(math.abs(got(v) - want) < 1e-12, s"v=$v")
+    }
+  }
+
+  test("band filter keeps exactly the [q1, q99] percentile band") {
+    val rng = new scala.util.Random(5)
+    val data = Array.fill(2000)(rng.nextGaussian())
+    val kept = NetworkAnalytics.bandFilter(data.toSeq.toDF("v"), "v", 0.01, 0.99)
+      .collect().map(_.getDouble(0))
+    val sorted = data.sorted
+    val lo = npPercentile(sorted, 1)
+    val hi = npPercentile(sorted, 99)
+    assert(kept.length == data.count(x => x >= lo && x <= hi))
+    assert(kept.forall(x => x >= lo && x <= hi))
+  }
+
   test("gini matches the reference formula") {
     val df = vals.toSeq.toDF("v")
     val got = NetworkAnalytics.gini(df, "v").first().getDouble(0)

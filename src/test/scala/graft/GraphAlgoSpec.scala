@@ -1,7 +1,7 @@
 package graft
 
 import graft.graph.LinkGraph
-import graft.algo.{ConnectedComponents, LabelPropagation, TriangleCount}
+import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, PrefixStudy, TriangleCount}
 
 class GraphAlgoSpec extends GraftSuite {
   import spark.implicits._
@@ -39,6 +39,68 @@ class GraphAlgoSpec extends GraftSuite {
     val g = graphOf(Seq((5L, 6L), (6L, 7L)))
     val labels = ConnectedComponents.run(g).select("label").distinct().count()
     assert(labels == 1)
+    g.unpersistAll()
+  }
+
+  test("connected components: 3000-vertex chain converges in O(log n) star rounds") {
+    // diameter 2999 — the naive min-label loop needs ~3000 supersteps here;
+    // star contraction must finish in a handful of rounds or this throws.
+    val g = graphOf((0 until 2999).map(i => (i.toLong, (i + 1).toLong)))
+    val labels = ConnectedComponents.run(g, maxIterations = 25)
+    assert(labels.select("label").distinct().count() == 1L)
+    assert(labels.agg(org.apache.spark.sql.functions.max("label")).first().getLong(0) == 0L)
+    g.unpersistAll()
+  }
+
+  test("connected components match brute-force union-find on a seeded random graph") {
+    val rng = new scala.util.Random(11)
+    val n = 300
+    val edges = Seq.fill(260)((rng.nextInt(n).toLong, rng.nextInt(n).toLong)).distinct
+    // driver-side union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(a: Int): Int = { var x = a; while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }; x }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a.toInt), find(b.toInt)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val wantRoot = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    // canonical = min member per root
+    val minOfRoot = wantRoot.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    val want = wantRoot.map { case (v, r) => v -> minOfRoot(r) }
+
+    val g = graphOf(edges)
+    val dict = g.vertexDict.collect().map(m => m.vid -> m.extId).toMap
+    val got = ConnectedComponents.run(g)
+      .collect()
+      .map(r => dict(r.getLong(0)) -> dict(r.getLong(1)))
+      .toMap
+    // compare only vertices that appear in the edge list (graph drops isolates)
+    got.foreach { case (v, lbl) => assert(lbl == want(v), s"vertex $v") }
+    g.unpersistAll()
+  }
+
+  test("induced prefix subgraph slices G[:k,:k]; prefix study cross-runs the solvers") {
+    // prefix 0..19 is a directed 20-cycle; vertices 20..59 hang off it
+    val cyc = (0 until 20).map(i => (i.toLong, ((i + 1) % 20).toLong))
+    val tail = (20 until 60).map(i => (i.toLong, (i - 20).toLong))
+    val g = graphOf(cyc ++ tail)
+    assert(g.numVertices == 60)
+
+    val sub = g.inducedPrefix(20)
+    assert(sub.numVertices == 20)
+    assert(sub.numEdges == 20, "induced prefix must keep exactly the in-prefix edges")
+    // the 20-cycle is regular: every formulation gives uniform ranks
+    val out = PageRank.run(sub, tolerance = 1e-12, maxIterations = 500)
+    out.ranks.collect().flatMap(_.values).foreach(v => assert(math.abs(v - 1.0 / 20) < 1e-9))
+    out.free()
+    val direct = graft.algo.DirectSolve.solve(
+      20, sub.edges.collect().map(e => (e.src.toInt, e.dst.toInt, e.weight)).toSeq)
+    direct.foreach(v => assert(math.abs(v - 1.0 / 20) < 1e-9))
+    sub.unpersistAll()
+
+    val study = PrefixStudy.run(g, Seq(20L, Long.MaxValue), tolerance = 1e-8)
+    assert(study.map(_.prefix).distinct.sorted == Seq(20L, 60L))
+    assert(study.count(_.prefix == 20L) == 3, "pr1/pr2/pr3 on the small prefix")
+    assert(study.forall(_.converged), study.mkString("; "))
+    val full = study.filter(_.prefix == 60L)
+    assert(full.forall(_.nodes == 60L) && full.forall(_.edges == g.numEdges))
     g.unpersistAll()
   }
 

@@ -33,6 +33,22 @@ class TextAndSimSpec extends GraftSuite {
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L), "unrelated doc has no pair")
   }
 
+  test("shingles of short/empty docs are empty arrays — dedup ops never crash on them") {
+    val shortDocs = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((10L, ""), (11L, "one"), (12L, "  "), (13L, "two words")))
+      .toDF("doc_id", "text")
+    val sh = shortDocs.select($"doc_id", size(Dedup.shingles($"text", 3)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sh(10L) == 0 && sh(11L) == 0 && sh(12L) == 0 && sh(13L) == 0)
+    // all three pipelines run end-to-end over the corpus containing short docs
+    val j = Dedup.jaccardPairs(shortDocs, "doc_id", "text", n = 3, threshold = 0.5).collect()
+    assert(!j.exists(r => r.getLong(0) >= 10L || r.getLong(1) >= 10L))
+    val m = Dedup.minhashLshPairs(shortDocs, "doc_id", "text", n = 3, threshold = 0.5).collect()
+    assert(!m.exists(r => r.getLong(0) >= 10L || r.getLong(1) >= 10L),
+      "empty docs must not collide into shared LSH buckets")
+    Dedup.exactClusters(shortDocs, "doc_id", "text").collect()
+  }
+
   test("minhash-LSH recovers the exact and near duplicates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -109,6 +125,22 @@ class TextAndSimSpec extends GraftSuite {
     val pairs = Dedup.embeddingPairs(vecs, "id", "vec", threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("LSH cosine-pairs matches brute force exactly at the contract threshold") {
+    // 300 seeded random 64-dim vectors: the ≥0.4 pairs sit in the random tail,
+    // the hardest recall regime for sign-LSH — exact agreement required
+    val rng = new scala.util.Random(17)
+    val vecs = (0L until 300L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"a", $"b", round($"cosine", 6).as("c"))
+      .filter($"c" >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = pairSet(Dedup.embeddingPairs(vecs, "id", "vec", threshold = 0.0))
+    val lsh = pairSet(Ann.cosinePairsLsh(vecs, threshold = 0.39, dim = 64))
+    assert(brute.nonEmpty, "fixture should contain pairs above the threshold")
+    assert(lsh == brute, s"missing=${brute -- lsh} extra=${lsh -- brute}")
   }
 
   test("LSH top-k recalls most of brute-force top-k on real embeddings") {
