@@ -1,21 +1,26 @@
 package graft
 
+import scala.sys.process._
+
 import org.apache.spark.sql.SparkSession
 
 import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
 import graft.analytics.NetworkAnalytics
-import graft.graph.LinkGraph
-import graft.sources.{RepoFiles, SkewedEdges, TestdataGraph}
+import graft.sources.{RepoFiles, TestdataGraph}
 
-/** Benchmark main. Prints ONE JSON line:
-  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...,
-  *  "edges_per_sec_per_superstep":...,"scaling":{...}}
+/** Benchmark main. Prints ONE JSON line whose `value` IS the headline metric
+  * (edges processed per second per PageRank superstep — BASELINE.json), with
+  * per-query wall times and the north-rule two-cluster-size scaling evidence.
   *
-  * Covers (a) the driver-contract queries over SPARK_GRAFT_SF_DIR, (b) a
-  * fixed-scale synthetic link-graph kernel benchmark (edges/sec/superstep —
-  * the BASELINE.json metric), and (c) the north-rule two-cluster-size
-  * evidence: the identical kernel job at local[8] vs local[32] on the same
-  * input, reporting throughput at both plus scaling efficiency (T8/T32)/4.
+  * Structure:
+  *  (1) driver-contract workload on SPARK_GRAFT_SF_DIR (this JVM);
+  *  (2) north-rule ingestion pipeline (repo files → shared-pattern graph);
+  *  (3) headline kernel throughput — FORKED fresh JVM at full cores;
+  *  (4) scaling legs — the IDENTICAL kernel job at cpus/16, cpus/4 and cpus
+  *      cores, one fresh JVM per leg (same input, different parallelism —
+  *      the sandbox stand-in for N vs 4N executors). Round 1 ran legs inside
+  *      one shared JVM and heap/cache residue inverted the scaling signal;
+  *      forking a process per leg is the fix.
   */
 object Bench {
 
@@ -38,29 +43,53 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Mean superstep seconds over `iters` fixed supersteps (first 2 warm-up
-    * supersteps excluded), using the engine's own per-superstep metrics.
-    */
-  private def kernelSuperstepSec(g: LinkGraph, iters: Int): Double = {
-    val out = PageRank.run(g, damping = 0.85, tolerance = 0.0, maxIterations = iters)
-    val times = out.metrics.drop(2).map(_.wallMs).sorted
-    out.free()
-    times(times.size / 2) / 1000.0 // median: robust to stray GC/dispatch stalls
+  // Spark 4 on JDK 17 outside spark-submit needs the module opens; mirrors
+  // build.sbt / org.apache.spark.launcher.JavaModuleOptions.
+  private val addOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** One kernel leg in a FRESH JVM; returns (superstep_sec, folded_edges). */
+  private def forkKernelLeg(cores: Int, n: Long, e: Long): (Double, Long) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx$heap",
+      "-cp", System.getProperty("java.class.path"),
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "graft.tools.KernelBench", cores.toString, n.toString, e.toString)
+    val out = new StringBuilder
+    val rc = Process(cmd).!(ProcessLogger(line => out.append(line).append('\n'), _ => ()))
+    require(rc == 0, s"kernel leg cores=$cores exited $rc")
+    val line = out.toString.linesIterator.filter(_.startsWith("{")).toSeq.last
+    def num(key: String): Double =
+      s""""$key":([-+0-9.eE]+)""".r.findFirstMatchIn(line)
+        .getOrElse(throw new IllegalStateException(s"no $key in: $line"))
+        .group(1).toDouble
+    (num("superstep_sec"), num("folded_edges").toLong)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // kernel-bench scale: big enough that compute dominates fixed per-superstep
-    // costs at high core counts, scaled down when few cores (graph build time)
-    val (defN, defE) = if (cpus >= 16) ("4000000", "80000000") else ("1000000", "10000000")
-    val benchVertices = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", defN).toLong
-    val benchEdges = sys.env.getOrElse("SPARK_GRAFT_BENCH_E", defE).toLong
+    // headline kernel scale (full cores); scaling legs use a smaller graph so
+    // the low-core leg's one-time graph build stays affordable
+    val benchVertices = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4000000").toLong
+    val benchEdges = sys.env.getOrElse("SPARK_GRAFT_BENCH_E", "80000000").toLong
+    val scaleVertices = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2000000").toLong
+    val scaleEdges = sys.env.getOrElse("SPARK_GRAFT_SCALE_E", "40000000").toLong
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // ---- phase 1: driver-contract workload on the sf dir ----
-    var spark = session(cpus)
+    val spark = session(cpus)
     val (g, buildSec) = time {
       val gg = TestdataGraph.graph(spark, sfDir)
       gg.adjParts.count() // force CSR build
@@ -76,6 +105,12 @@ object Bench {
     results += "lpa_k4" -> time(LabelPropagation.run(g, 4).count())._2
     results += "triangles" -> time(TriangleCount.perVertexTriangles(g).count())._2
     results += "network_metrics" -> time(NetworkAnalytics.networkMetrics(g).collect())._2
+    results += "high_risk_providers" -> time {
+      val prior = NetworkAnalytics.compositeRisk(g)
+      val out = PageRank.propagateRisk(g, prior, tolerance = 0.0, maxIterations = 6)
+      NetworkAnalytics.highRiskProviders(out.toVertexDf(g), prior).count()
+      out.free()
+    }._2
 
     // ---- phase 2: north-rule ingestion (repo files → shared-pattern graph) ----
     results += "repo_pipeline" -> time {
@@ -85,48 +120,40 @@ object Bench {
       val out = PageRank.run(rg, tolerance = 0.0, maxIterations = 5)
       out.free(); rg.unpersistAll()
     }._2
-
-    // ---- phases 3+4: kernel throughput + N vs 4N scaling, each in a FRESH
-    // session: shared-session cache/GC residue from earlier phases was
-    // measured to slow the kernel ~1.6x and mask the scaling signal ----
     g.unpersistAll()
     spark.stop()
     TestdataGraph.clearCache()
 
-    def kernelLeg(cores: Int): (Long, Double, Double) = {
-      val s = session(cores)
-      val ((folded, perStep), total) = time {
-        val eg = LinkGraph.fromEdgeList(s, SkewedEdges.edges(s, benchVertices, benchEdges))
-        eg.gatherPartsRdd.count()
-        val f = eg.numEdges
-        val t = kernelSuperstepSec(eg, 12)
-        eg.unpersistAll()
-        (f, t)
-      }
-      s.stop()
-      (folded, perStep, total)
-    }
-
-    // low leg FIRST: both legs share one JVM, and heap residue from a prior
-    // leg slows the next one — running small-first biases the measured
-    // speedup DOWNWARD (conservative).
-    val lowCpus = math.max(1, cpus / 4)
-    val (_, tLow, _) = kernelLeg(lowCpus)
-    System.gc()
-
-    val (foldedE, tMain, kernelSec) = kernelLeg(cpus)
+    // ---- phase 3: headline kernel throughput, fresh JVM at full cores ----
+    val ((tMain, foldedE), kernelSec) = time(forkKernelLeg(cpus, benchVertices, benchEdges))
     results += "kernel_pagerank_12steps" -> kernelSec
     val edgesPerSec = foldedE / tMain
-    val efficiency = (tLow / tMain) / (cpus.toDouble / lowCpus)
 
-    val total = results.values.sum
+    // ---- phase 4: N vs 4N scaling legs, one fresh JVM each, same input ----
+    val legCores = Seq(math.max(1, cpus / 16), math.max(1, cpus / 4), cpus).distinct
+    val legs = legCores.map { c =>
+      val (t, f) = forkKernelLeg(c, scaleVertices, scaleEdges)
+      (c, t, f)
+    }
+    def eff(lo: (Int, Double, Long), hi: (Int, Double, Long)): Double =
+      (lo._2 / hi._2) / (hi._1.toDouble / lo._1)
+    val effPairs = legs.zip(legs.tail).map { case (lo, hi) =>
+      f""""efficiency_${lo._1}%d_to_${hi._1}%d":${eff(lo, hi)}%.3f"""
+    }
+    val legJson = legs
+      .map { case (c, t, f) =>
+        f"""{"cores":$c,"superstep_sec":$t%.4f,"edges_per_sec":${f / t}%.0f}"""
+      }
+      .mkString("[", ",", "]")
+
+    val totalSec = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"edges-processed/sec per PageRank superstep","value":$total,"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir",""" +
-        s""""kernel":{"vertices":$benchVertices,"requested_edges":$benchEdges,"folded_edges":$foldedE,""" +
-        f""""superstep_sec_local$cpus%d":$tMain%.4f,"edges_per_sec_per_superstep":$edgesPerSec%.0f},""" +
-        f""""scaling":{"superstep_sec_local$lowCpus%d":$tLow%.4f,"superstep_sec_local$cpus%d":$tMain%.4f,""" +
-        f""""speedup_${lowCpus}_to_$cpus%d":${tLow / tMain}%.3f,"efficiency":$efficiency%.3f}}""")
+      f"""{"metric":"edges_per_sec_per_superstep","value":$edgesPerSec%.0f,"unit":"edges/sec",""" +
+        f""""queries":$qs,"sf":"$sfDir","total_sec":$totalSec%.1f,""" +
+        f""""kernel":{"cores":$cpus,"vertices":$benchVertices,"requested_edges":$benchEdges,""" +
+        f""""folded_edges":$foldedE,"superstep_sec":$tMain%.4f,"edges_per_sec_per_superstep":$edgesPerSec%.0f},""" +
+        s""""scaling":{"vertices":$scaleVertices,"requested_edges":$scaleEdges,"fresh_jvm_per_leg":true,""" +
+        s""""legs":$legJson,${effPairs.mkString(",")}}}""")
   }
 }

@@ -1,31 +1,24 @@
 package graft.engine
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.model.{RankChunk, SuperstepMetrics}
 import graft.graph.LinkGraph
+import graft.sources.IcebergLite
 
-/** Durable superstep checkpoints: parquet rank snapshots plus an append-only
-  * JSON manifest committed by atomic rename — the Iceberg-style
-  * snapshot/manifest pattern at file granularity (no Iceberg jars ship in this
-  * sandbox; the interface is narrow enough that a real catalog slots in on a
-  * cluster). A superstep is visible iff its manifest entry exists, so a crash
-  * mid-write leaves the previous superstep as the resume point (north rule:
-  * mid-iteration resume with per-partition lineage + metrics).
+/** Durable superstep checkpoints AS IcebergLite snapshots: each checkpoint is
+  * one committed snapshot of the checkpoint-dir table (rank vector as
+  * (vid, value) parquet) whose snapshot-summary properties carry the
+  * superstep number, the residual, and the recent per-superstep metrics
+  * (rows, bytes shuffled, wall time). One storage format and one atomic
+  * commit path shared with every other table in the engine — a superstep is
+  * visible iff its manifest exists, so a crash mid-write leaves the previous
+  * superstep as the resume point (north rule: mid-iteration resume with
+  * per-partition lineage + metrics checkpointed to Iceberg).
   */
 object CheckpointManager {
 
-  def dataPath(dir: String, superstep: Int): String =
-    s"$dir/superstep=$superstep/ranks"
-
-  private def manifestDir(dir: String): Path = Paths.get(dir, "_manifest")
-
-  /** Write ranks + manifest entry for superstep k. Parquet first, then the
-    * manifest entry via temp-file + atomic rename = the commit point.
-    */
+  /** Commit superstep k: rank snapshot + summary properties. */
   def write(
       graph: LinkGraph,
       dir: String,
@@ -34,13 +27,6 @@ object CheckpointManager {
       recent: Seq[SuperstepMetrics],
       chunks: Dataset[RankChunk]
   ): Unit = {
-    graph
-      .chunksToVertexDf(chunks)
-      .write
-      .mode("overwrite")
-      .parquet(dataPath(dir, superstep))
-    val md = manifestDir(dir)
-    Files.createDirectories(md)
     val metricsJson = recent
       .map(m =>
         s"""{"superstep":${m.superstep},"residual":${m.residual},""" +
@@ -48,38 +34,28 @@ object CheckpointManager {
           s""""shuffleReadRows":${m.shuffleReadRows},"shuffleWriteRows":${m.shuffleWriteRows},""" +
           s""""wallMs":${m.wallMs}}""")
       .mkString("[", ",", "]")
-    val entry =
-      s"""{"superstep":$superstep,"residual":$residual,"metrics":$metricsJson}"""
-    val tmp = md.resolve(s".${superstep}.json.tmp")
-    Files.writeString(tmp, entry)
-    Files.move(tmp, md.resolve(s"$superstep.json"), StandardCopyOption.ATOMIC_MOVE)
+    IcebergLite.commit(
+      graph.chunksToVertexDf(chunks),
+      dir,
+      properties = Map(
+        "superstep" -> superstep.toString,
+        "residual" -> residual.toString,
+        "metrics" -> metricsJson))
+    ()
   }
 
-  /** Newest committed superstep: (superstep, residual). */
-  def latest(dir: String): Option[(Int, Double)] = {
-    val md = manifestDir(dir)
-    if (!Files.isDirectory(md)) return None
-    val entries = Files.list(md).iterator().asScala.toList
-      .filter(_.getFileName.toString.matches("\\d+\\.json"))
-    if (entries.isEmpty) return None
-    val best = entries.maxBy(p => p.getFileName.toString.stripSuffix(".json").toInt)
-    val k = best.getFileName.toString.stripSuffix(".json").toInt
-    val txt = Files.readString(best)
-    val residual = "\"residual\":([-+0-9.eE]+)".r
-      .findFirstMatchIn(txt)
-      .map(_.group(1).toDouble)
-      .getOrElse(Double.MaxValue)
-    Some((k, residual))
-  }
+  /** Newest committed checkpoint: (snapshot, superstep, residual). */
+  def latest(dir: String): Option[(Long, Int, Double)] =
+    IcebergLite.snapshots(dir).lastOption.map { snap =>
+      val p = IcebergLite.properties(dir, snap)
+      (snap, p("superstep").toInt, p("residual").toDouble)
+    }
+
+  /** Manifest-resolved read of one committed checkpoint's ranks. */
+  def readRanks(spark: SparkSession, dir: String, snapshot: Long): DataFrame =
+    IcebergLite.read(spark, dir, Some(snapshot))
 
   /** All committed supersteps in order (for resume tests / metrics queries). */
-  def committedSupersteps(dir: String): Seq[Int] = {
-    val md = manifestDir(dir)
-    if (!Files.isDirectory(md)) return Nil
-    Files.list(md).iterator().asScala.toList
-      .map(_.getFileName.toString)
-      .filter(_.matches("\\d+\\.json"))
-      .map(_.stripSuffix(".json").toInt)
-      .sorted
-  }
+  def committedSupersteps(dir: String): Seq[Int] =
+    IcebergLite.snapshots(dir).map(s => IcebergLite.properties(dir, s)("superstep").toInt)
 }

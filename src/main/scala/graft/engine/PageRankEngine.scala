@@ -80,8 +80,8 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     val dir = cfg.checkpointDir.getOrElse(
       throw new IllegalArgumentException("resume() requires checkpointDir"))
     CheckpointManager.latest(dir) match {
-      case Some((k, residual)) =>
-        val df = spark.read.parquet(CheckpointManager.dataPath(dir, k))
+      case Some((snap, k, residual)) =>
+        val df = CheckpointManager.readRanks(spark, dir, snap)
         val chunks = graph.chunksOf(df)
         if (residual < cfg.tolerance)
           PageRankOutcome(chunks, PageRankRun(k, converged = true, residual, 0.0, n, graph.numEdges), Nil)

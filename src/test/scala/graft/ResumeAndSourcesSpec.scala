@@ -50,9 +50,40 @@ class ResumeAndSourcesSpec extends GraftSuite {
     assert(out.metrics.size == 4)
     assert(out.metrics.forall(_.residual > 0))
     assert(out.metrics.forall(_.wallMs >= 0))
-    val manifest = Files.readString(
-      java.nio.file.Paths.get(dir, "_manifest", "4.json"))
-    assert(manifest.contains("\"superstep\":4") && manifest.contains("residual"))
+    // checkpoints ARE IcebergLite snapshots: summary properties carry the
+    // superstep, residual, and per-superstep metrics
+    val snaps = graft.sources.IcebergLite.snapshots(dir)
+    assert(snaps == Seq(0L, 1L), s"snapshots=$snaps") // supersteps 2 and 4
+    val props = graft.sources.IcebergLite.properties(dir, snaps.last)
+    assert(props("superstep") == "4")
+    assert(props("residual").toDouble > 0)
+    assert(props("metrics").contains("shuffleReadBytes"))
+    assert(CheckpointManager.committedSupersteps(dir) == Seq(2, 4))
+    g.unpersistAll()
+  }
+
+  test("torn checkpoint commit is invisible; a retried commit recovers the orphan dir") {
+    val dir = Files.createTempDirectory("graft-torn").toString
+    val g = LinkGraph.fromEdgeList(spark, rand.toDF("src", "dst"), numBlocks = 3)
+    new PageRankEngine(
+      g,
+      PageRankConfig(0.85, 0.0, 2, PageRankMode.ReferenceRenorm,
+        checkpointDir = Some(dir), checkpointEvery = 2)).run()
+    assert(CheckpointManager.latest(dir).map(_._2) == Some(2))
+
+    // simulate a crash mid-commit: data dir written, manifest never renamed
+    val orphan = java.nio.file.Paths.get(dir, "snap-1")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-torn.parquet"), "garbage")
+    assert(CheckpointManager.latest(dir).map(_._2) == Some(2), "torn commit must stay invisible")
+    assert(CheckpointManager.readRanks(spark, dir, 0L).count() == g.numVertices)
+
+    // resuming + checkpointing again must reuse snapshot id 1 cleanly
+    val resumed = PageRank.resume(g, PageRankConfig(0.85, 0.0, 4, PageRankMode.ReferenceRenorm,
+      checkpointDir = Some(dir), checkpointEvery = 2))
+    assert(resumed.run.iterations == 4)
+    assert(CheckpointManager.committedSupersteps(dir) == Seq(2, 4))
+    assert(CheckpointManager.readRanks(spark, dir, 1L).count() == g.numVertices)
     g.unpersistAll()
   }
 
