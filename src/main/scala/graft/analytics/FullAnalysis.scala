@@ -41,7 +41,7 @@ object FullAnalysis {
       damping: Double = 0.85,
       tolerance: Double = 1e-8,
       riskDamping: Double = 0.95,
-      sweepTolerances: Seq[Double] = Seq(1e-4, 1e-6, 1e-8)
+      sweepTolerances: Seq[Double] = Seq(1e-4, 1e-6, 1e-8, 1e-10) // README.md:85-88
   ): AnalysisReport = {
     val pr = PageRank.run(graph, damping, tolerance)
     val ranks = pr.toVertexDf(graph)
@@ -64,8 +64,14 @@ object FullAnalysis {
 
   /** Deterministic seeded uniform sample w/o replacement (the engine-pinned
     * version of the reference's unseeded np.random.choice viz sampling,
-    * visualizations.py:106).
+    * visualizations.py:106). Rows are ranked by a content hash salted with
+    * the seed — NOT rand(seed), whose draw depends on the partition index,
+    * so the same data at a different parallelism would sample differently.
+    * orderBy+limit plans as TakeOrderedAndProject: a distributed top-k, not
+    * a global sort.
     */
-  def seededSample(df: DataFrame, k: Int, seed: Long = 42L): DataFrame =
-    df.orderBy(rand(seed)).limit(k)
+  def seededSample(df: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val cols = df.columns.map(col).toSeq
+    df.orderBy((xxhash64((lit(seed) +: cols): _*) +: cols): _*).limit(k)
+  }
 }

@@ -51,9 +51,12 @@ final case class PageRankOutcome(
   *    superstep zipPartitions the two (NO join, NO exchange of adjacency:
   *    round 1 joined the cached Dataset per superstep and the planner
   *    broadcast / sort-merge-exchanged all ~16 B/edge of adjacency every
-  *    iteration), scatters pre-combined contributions, and shuffles ONLY
-  *    those O(n)-bounded contribution rows back to the owning blocks.
-  *    Residual / normalizer come from DoubleAccumulators updated in the
+  *    iteration), pre-combines scatter-adds into per-src-block slabs, and
+  *    shuffles ONLY those ≤ numBlocks [[BlockContrib]] primitive-array
+  *    values per task back to the owning blocks (≤ 8 B per vertex slot —
+  *    never per-vertex row objects, whose serialization dominated wall time
+  *    and grew with parallelism). Residual / normalizer come from
+  *    DoubleAccumulators updated in the
   *    result stage (exactly-once per partition — Spark dedups result-stage
   *    accumulator updates on retry). Lineage is cut per superstep behind an
   *    RDD localCheckpoint (see [[pinRdd]]).
@@ -349,19 +352,27 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
       case _ => 0.0
     }
 
+    val nb = graph.numBlocks
+
     /** The gather-scatter matvec: zipPartitions the CACHED co-partitioned
       * adjacency with the identically-laid-out rank chunks (adjacency never
-      * moves), pre-combine scatter-adds across ALL parts of the block in one
-      * open-address map, then ONE shuffle of the pre-combined contribution
-      * rows (≤ n rows per source task, O(n·numBlocks) worst case — vs
-      * O(edges) if the adjacency itself moved) back to the owning blocks.
+      * moves), pre-combine scatter-adds across ALL parts of the block into
+      * lazily-allocated per-src-block dense slabs, then ONE shuffle of at
+      * most numBlocks BlockContrib values per task back to the owning
+      * blocks. Each value is a primitive-array slab (dense when fill > 1/2,
+      * compacted sparse otherwise) — never per-vertex row objects, whose
+      * serialization dominated the superstep and made shuffle volume grow
+      * with parallelism. Per-task slab memory is bounded by the touched
+      * slots, ≤ n doubles worst case (the same bound as the resident
+      * regime's dense scatter).
       */
-    def contribsOf(x: RDD[RankChunk]): RDD[(Int, Contrib)] =
+    def contribsOf(x: RDD[RankChunk]): RDD[(Int, BlockContrib)] =
       adj.zipPartitions(x) { (adjIt, xIt) =>
         if (!xIt.hasNext) Iterator.empty
         else {
           val chunk = xIt.next()
-          val map = new LongDoubleMap(1 << 12)
+          val slabs = new Array[Array[Double]](nb)
+          val touched = new Array[Int](nb)
           adjIt.foreach { case (_, part) =>
             var i = 0
             while (i < part.keys.length) {
@@ -369,13 +380,39 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
               if (xv != 0.0) {
                 var j = part.offsets(i)
                 val end = part.offsets(i + 1)
-                while (j < end) { map.add(part.adj(j), part.wNorm(j) * xv); j += 1 }
+                while (j < end) {
+                  val src = part.adj(j)
+                  val b = (src / bs).toInt
+                  var slab = slabs(b)
+                  if (slab == null) {
+                    slab = new Array[Double](math.min(bs, nv - b.toLong * bs).toInt)
+                    slabs(b) = slab
+                  }
+                  val local = (src - b.toLong * bs).toInt
+                  if (slab(local) == 0.0) touched(b) += 1
+                  slab(local) += part.wNorm(j) * xv
+                  j += 1
+                }
               }
               i += 1
             }
           }
-          map.iterator.map { case (src, v) =>
-            ((src / bs).toInt, Contrib((src / bs).toInt, (src % bs).toInt, v))
+          Iterator.range(0, nb).filter(slabs(_) != null).map { b =>
+            val slab = slabs(b)
+            if (touched(b).toLong * 2 >= slab.length) (b, BlockContrib(b, slab, null, null))
+            else {
+              val idx = new Array[Int](touched(b))
+              val vs = new Array[Double](touched(b))
+              var c = 0
+              var i = 0
+              while (i < slab.length) {
+                if (slab(i) != 0.0) { idx(c) = i; vs(c) = slab(i); c += 1 }
+                i += 1
+              }
+              val fi = if (c == idx.length) idx else java.util.Arrays.copyOf(idx, c)
+              val fv = if (c == vs.length) vs else java.util.Arrays.copyOf(vs, c)
+              (b, BlockContrib(b, null, fi, fv))
+            }
           }
         }
       }.partitionBy(hp)
@@ -401,7 +438,7 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
             else {
               val old = xit.next()
               val gx = new Array[Double](old.values.length)
-              cit.foreach { case (_, c) => gx(c.local) += c.value }
+              PageRankEngine.gatherContribs(cit, gx)
               val y = new Array[Double](gx.length)
               var s = 0.0
               var i = 0
@@ -444,7 +481,7 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
               val old = xit.next()
               val del = dit.next()
               val gx = new Array[Double](old.values.length)
-              cit.foreach { case (_, c) => gx(c.local) += c.value }
+              PageRankEngine.gatherContribs(cit, gx)
               val y = new Array[Double](gx.length)
               var diff = 0.0
               var i = 0
@@ -472,7 +509,7 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
               val old = xit.next()
               val zc = zit.next()
               val gx = new Array[Double](old.values.length)
-              cit.foreach { case (_, c) => gx(c.local) += c.value }
+              PageRankEngine.gatherContribs(cit, gx)
               val y = new Array[Double](gx.length)
               var diff = 0.0
               var zdot = 0.0
@@ -549,6 +586,24 @@ object PageRankEngine {
   /** Per-superstep stderr progress (env GRAFT_DEBUG). */
   val debug: Boolean = sys.env.contains("GRAFT_DEBUG")
 
+  /** Sum incoming contribution slabs (dense or compacted sparse) into gx. */
+  private[engine] def gatherContribs(
+      cit: Iterator[(Int, BlockContrib)],
+      gx: Array[Double]
+  ): Unit =
+    cit.foreach { case (_, bc) =>
+      if (bc.dense != null) {
+        val d = bc.dense
+        var i = 0
+        while (i < d.length) { gx(i) += d(i); i += 1 }
+      } else {
+        val idx = bc.idx
+        val vs = bc.vals
+        var i = 0
+        while (i < idx.length) { gx(idx(i)) += vs(i); i += 1 }
+      }
+    }
+
   /** Gather one src-major part (resident regime): out[srcLocal] = Σ over its
     * edges of wNorm · x[dst] — sequential writes, the JVM twin of SciPy's C
     * matvec inner loop (pagerank.py:194).
@@ -566,43 +621,5 @@ object PageRankEngine {
       out(part.keys(i)) += s // += — a key's edges may straddle split parts
       i += 1
     }
-  }
-}
-
-/** Minimal open-address long→double accumulation map (linear probing, grows at
-  * 0.7 load). Avoids boxing in the superstep hot path — the JVM-array analog
-  * of SciPy's C matvec inner loop.
-  */
-private[engine] final class LongDoubleMap(initialCapacity: Int) {
-  private var cap = Integer.highestOneBit(math.max(16, initialCapacity) - 1) << 1
-  private var keys = new Array[Long](cap)
-  private var used = new Array[Boolean](cap)
-  private var vals = new Array[Double](cap)
-  private var size = 0
-
-  def add(k: Long, v: Double): Unit = {
-    var idx = (java.lang.Long.hashCode(k * -7046029254386353131L) & (cap - 1))
-    while (used(idx) && keys(idx) != k) idx = (idx + 1) & (cap - 1)
-    if (!used(idx)) {
-      used(idx) = true; keys(idx) = k; vals(idx) = v; size += 1
-      if (size * 10 > cap * 7) grow()
-    } else vals(idx) += v
-  }
-
-  private def grow(): Unit = {
-    val ok = keys; val ou = used; val ov = vals; val oc = cap
-    cap <<= 1
-    keys = new Array[Long](cap); used = new Array[Boolean](cap); vals = new Array[Double](cap)
-    size = 0
-    var i = 0
-    while (i < oc) { if (ou(i)) add(ok(i), ov(i)); i += 1 }
-  }
-
-  def iterator: Iterator[(Long, Double)] = new Iterator[(Long, Double)] {
-    private var i = -1
-    private def advance(): Unit = { i += 1; while (i < cap && !used(i)) i += 1 }
-    advance()
-    def hasNext: Boolean = i < cap
-    def next(): (Long, Double) = { val r = (keys(i), vals(i)); advance(); r }
   }
 }

@@ -58,8 +58,20 @@ final case class AdjPart(
 /** Dense rank-vector chunk aligned with a vertex block: values(i) = x[loVid + i]. */
 final case class RankChunk(blockId: Int, loVid: Long, values: Array[Double])
 
-/** Partial contribution sums scattered from one AdjPart toward a src block. */
-final case class Contrib(blockId: Int, local: Int, value: Double)
+/** Pre-combined contribution sums scattered from one dst-block task toward
+  * one src block — ONE of these per touched (dstBlockTask, srcBlock) pair
+  * shuffles per superstep, never per-edge or per-vertex row objects (row
+  * objects made serialization the distributed superstep's dominant cost).
+  * Exactly one representation is set:
+  *  - dense: full-slab array (fill > 1/2 — 8 B/slot beats 12 B/entry)
+  *  - idx/vals: compacted sparse entries (local slot → partial sum)
+  */
+final case class BlockContrib(
+    blockId: Int,
+    dense: Array[Double],
+    idx: Array[Int],
+    vals: Array[Double]
+)
 
 /** Which normalization / teleport policy the superstep kernel applies.
   * One kernel, three config-selected policies (SURVEY.md §7.3.2):

@@ -14,7 +14,13 @@ import graft.sources.SkewedEdges
   * per (core count) is the only clean way to compare parallelism levels on a
   * single box.
   *
-  * args: cores numVertices numEdges [iterations]
+  * args: cores numVertices numEdges [iterations] [regime]
+  * regime: `resident` (default — driver-array fast path) or `distributed`
+  * (the co-partitioned chunk-RDD regime forced regardless of n — the regime
+  * that exists at cluster scale, and the one whose N→4N scaling matters:
+  * the resident path has an O(n) serial driver term per superstep, so
+  * Amdahl caps it at high core counts by design).
+  *
   * stdout (last line): {"cores":C,"vertices":N,"requested_edges":E,
   *   "folded_edges":F,"superstep_sec":T,"edges_per_sec":R}
   */
@@ -24,18 +30,26 @@ object KernelBench {
     val n = args(1).toLong
     val e = args(2).toLong
     val iters = if (args.length > 3) args(3).toInt else 12
+    val regime = if (args.length > 4) args(4) else "resident"
+    if (regime == "distributed") graft.engine.PageRankEngine.BroadcastThresholdBytes = 0L
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-kernel-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val g = LinkGraph.fromEdgeList(spark, SkewedEdges.edges(spark, n, e))
-    g.gatherPartsRdd.count() // build + cache the CSR layout before timing
+    // block count is a property of the DATA layout, not of the cluster size:
+    // comparing parallelism levels on the same input requires the same
+    // blocking (and hence the same per-superstep shuffle volume)
+    val numBlocks = sys.env.getOrElse("KB_BLOCKS", "64").toInt
+    val g = LinkGraph.fromEdgeList(spark, SkewedEdges.edges(spark, n, e), numBlocks = numBlocks)
+    // build + cache the regime's adjacency layout before timing
+    if (regime == "distributed") g.adjPartsByBlock.count() else g.gatherPartsRdd.count()
     val folded = g.numEdges
     val out = PageRank.run(g, damping = 0.85, tolerance = 0.0, maxIterations = iters)
     // median superstep, first two warm-up steps excluded: robust to stray GC

@@ -109,6 +109,20 @@ class AnalyticsSpec extends GraftSuite {
     g.unpersistAll()
   }
 
+  test("seeded sample is exact-k, a subset, and parallelism-independent") {
+    import graft.analytics.FullAnalysis
+    val data = (0 until 500).map(i => (i.toLong, s"row$i"))
+    val narrow = data.toDF("id", "tag").repartition(1)
+    val wide = data.toDF("id", "tag").repartition(7)
+    val s1 = FullAnalysis.seededSample(narrow, 50, seed = 9).collect().map(_.getLong(0)).toSeq
+    val s2 = FullAnalysis.seededSample(wide, 50, seed = 9).collect().map(_.getLong(0)).toSeq
+    assert(s1.size == 50 && s1.distinct.size == 50)
+    assert(s1 == s2, "sample must not depend on the input partitioning")
+    assert(s1.toSet.subsetOf(data.map(_._1).toSet))
+    val other = FullAnalysis.seededSample(wide, 50, seed = 10).collect().map(_.getLong(0)).toSeq
+    assert(other != s1, "different seed, different sample")
+  }
+
   test("network metrics mirror hand-computed values on a tiny graph") {
     // 0->1 (x2 dup), 1->2; weighted degrees: in: [0,2,1], out: [2,1,0]
     val g = LinkGraph.fromEdgeList(
