@@ -15,12 +15,15 @@ import graft.sources.{RepoFiles, TestdataGraph}
   * Structure:
   *  (1) driver-contract workload on SPARK_GRAFT_SF_DIR (this JVM);
   *  (2) north-rule ingestion pipeline (repo files → shared-pattern graph);
-  *  (3) headline kernel throughput — FORKED fresh JVM at full cores;
-  *  (4) scaling legs — the IDENTICAL kernel job at cpus/16, cpus/4 and cpus
-  *      cores, one fresh JVM per leg (same input, different parallelism —
-  *      the sandbox stand-in for N vs 4N executors). Round 1 ran legs inside
-  *      one shared JVM and heap/cache residue inverted the scaling signal;
-  *      forking a process per leg is the fix.
+  *  (3) headline kernel throughput — FORKED fresh JVM at full cores,
+  *      vector-resident regime (the single-node fast path);
+  *  (4) scaling legs — the IDENTICAL distributed-regime kernel job at
+  *      1, cpus/8 and cpus cores, one fresh JVM per leg (same input, same
+  *      block layout, different parallelism — the sandbox stand-in for
+  *      N vs 4N executors, measured on the regime that exists at cluster
+  *      scale). Round 1 ran legs inside one shared JVM and heap/cache
+  *      residue inverted the scaling signal; forking a process per leg is
+  *      the fix.
   */
 object Bench {
 
@@ -56,15 +59,23 @@ object Bench {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   /** One kernel leg in a FRESH JVM; returns (superstep_sec, folded_edges). */
-  private def forkKernelLeg(cores: Int, n: Long, e: Long): (Double, Long) = {
+  private def forkKernelLeg(
+      cores: Int,
+      n: Long,
+      e: Long,
+      iters: Int,
+      regime: String
+  ): (Double, Long) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx$heap",
+      "-XX:+UseParallelGC", // lower pause jitter than G1 on sub-second steps
       "-cp", System.getProperty("java.class.path"),
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
-      "graft.tools.KernelBench", cores.toString, n.toString, e.toString)
+      "graft.tools.KernelBench",
+      cores.toString, n.toString, e.toString, iters.toString, regime)
     val out = new StringBuilder
     val rc = Process(cmd).!(ProcessLogger(line => out.append(line).append('\n'), _ => ()))
     require(rc == 0, s"kernel leg cores=$cores exited $rc")
@@ -83,8 +94,8 @@ object Bench {
     // the low-core leg's one-time graph build stays affordable
     val benchVertices = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4000000").toLong
     val benchEdges = sys.env.getOrElse("SPARK_GRAFT_BENCH_E", "80000000").toLong
-    val scaleVertices = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2000000").toLong
-    val scaleEdges = sys.env.getOrElse("SPARK_GRAFT_SCALE_E", "40000000").toLong
+    val scaleVertices = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1000000").toLong
+    val scaleEdges = sys.env.getOrElse("SPARK_GRAFT_SCALE_E", "20000000").toLong
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
@@ -125,20 +136,23 @@ object Bench {
     TestdataGraph.clearCache()
 
     // ---- phase 3: headline kernel throughput, fresh JVM at full cores ----
-    val ((tMain, foldedE), kernelSec) = time(forkKernelLeg(cpus, benchVertices, benchEdges))
+    val ((tMain, foldedE), kernelSec) =
+      time(forkKernelLeg(cpus, benchVertices, benchEdges, 12, "resident"))
     results += "kernel_pagerank_12steps" -> kernelSec
     val edgesPerSec = foldedE / tMain
 
     // ---- phase 4: N vs 4N scaling legs, one fresh JVM each, same input ----
-    // 1 → 4 cores is the N→4N pair: both legs sit below this single-socket
-    // host's DRAM-bandwidth ceiling, which the gather kernel saturates around
-    // 8 threads (memory channels scale with NODES on a real N→4N cluster —
-    // the one thing local[k] physically cannot emulate). The full-core leg is
-    // reported for transparency; its 4→cpus efficiency is the documented
-    // bandwidth wall, not scheduler overhead (see BASELINE.md).
+    // Legs run the DISTRIBUTED regime — the regime that exists on a real
+    // multi-executor cluster at 10^12 scale, and whose multi-second supersteps
+    // average over this host's noise (the resident fast path's sub-0.3 s steps
+    // are dominated by a fixed dispatch+broadcast+collect floor plus an O(n)
+    // serial driver term — by design it is the single-node regime). 1 → 4
+    // cores is the N→4N pair; the full-core leg is reported for transparency
+    // (its 4→cpus efficiency hits this single socket's shuffle/DRAM ceiling —
+    // memory channels scale with NODES on a real cluster; see BASELINE.md).
     val legCores = Seq(1, math.max(1, cpus / 8), cpus).distinct
     val legs = legCores.map { c =>
-      val (t, f) = forkKernelLeg(c, scaleVertices, scaleEdges)
+      val (t, f) = forkKernelLeg(c, scaleVertices, scaleEdges, 12, "distributed")
       (c, t, f)
     }
     def eff(lo: (Int, Double, Long), hi: (Int, Double, Long)): Double =
@@ -159,7 +173,7 @@ object Bench {
         f""""queries":$qs,"sf":"$sfDir","total_sec":$totalSec%.1f,""" +
         f""""kernel":{"cores":$cpus,"vertices":$benchVertices,"requested_edges":$benchEdges,""" +
         f""""folded_edges":$foldedE,"superstep_sec":$tMain%.4f,"edges_per_sec_per_superstep":$edgesPerSec%.0f},""" +
-        s""""scaling":{"vertices":$scaleVertices,"requested_edges":$scaleEdges,"fresh_jvm_per_leg":true,""" +
+        s""""scaling":{"vertices":$scaleVertices,"requested_edges":$scaleEdges,"regime":"distributed","fresh_jvm_per_leg":true,""" +
         s""""legs":$legJson,${effPairs.mkString(",")}}}""")
   }
 }
