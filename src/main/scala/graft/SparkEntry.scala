@@ -319,14 +319,15 @@ object SparkEntry {
       TextAnalytics.fingerprints(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
     },
     // ---- embeddings: similarity search ----
-    // LSH-bucketed candidate generation + exact cosine verify (no cartesian in
-    // the plan); the pre-filter sits just below the rounded contract threshold
-    // so the final round()-filter is identical to the oracle's
+    // EXACT brute-force pair set for the hash-gated oracle (the probabilistic
+    // LSH path must never gate a deterministic contract — a boundary pair
+    // missed with p≈3e-6 would fail the hash nondeterministically); the
+    // bucketed scale path is exercised by q_ann_lsh + recall tests instead.
+    // The pre-filter sits just below the rounded contract threshold so the
+    // final round()-filter is identical to the oracle's.
     "q_embedding_pairs" -> { (s, dir) =>
       import s.implicits._
-      Ann.cosinePairsLsh(
-          emb(s, dir).select($"vec_id".as("id"), $"embedding".as("vec")),
-          threshold = 0.39, dim = 64)
+      Dedup.embeddingPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.39)
         .select($"a", $"b", round($"cosine", 6).as("cosine"))
         .filter(round($"cosine", 6) >= 0.4)
         .orderBy($"a", $"b")

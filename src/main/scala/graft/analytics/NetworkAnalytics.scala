@@ -8,14 +8,15 @@ import graft.graph.LinkGraph
 
 /** The reference's relational analytics re-expressed as Catalyst plans.
   * Every percentile is EXACT with np.percentile's linear-interpolation rule
-  * (never percentile_approx: it breaks 1e-6 parity), computed distributed by
-  * [[percentilesExact]] — a two-phase ranked sum over distinct values, so no
-  * single task ever holds all n values (SQL `percentile` is one
-  * ObjectHashAggregate buffer: 8 GB in one task at 10⁹ vertices). NumPy std
-  * is population σ → `stddev_pop`, not Spark's default sample stddev.
-  * Threshold-dependent aggregates run as two phases (percentile scalars
-  * first, then the conditional agg with literal thresholds) because SQL
-  * forbids nesting aggregates.
+  * (never percentile_approx: it breaks 1e-6 parity), served by [[ValueDist]] —
+  * ONE distribution build per (frame, column) answers every threshold, the
+  * median, and the CDF; above ValueDist.SmallN it is a two-phase ranked sum
+  * over distinct values, so no single task ever holds all n values (SQL
+  * `percentile` is one ObjectHashAggregate buffer: 8 GB in one task at 10⁹
+  * vertices). NumPy std is population σ → `stddev_pop`, not Spark's default
+  * sample stddev. Threshold-dependent aggregates run as two phases
+  * (percentile scalars first, then the conditional agg with literal
+  * thresholds) because SQL forbids nesting aggregates.
   */
 object NetworkAnalytics {
 
@@ -74,11 +75,11 @@ object NetworkAnalytics {
     * The sorted frame is persisted before the offsets job because
     * repartitionByRange SAMPLES its bounds per materialization — two
     * evaluations could disagree on partition boundaries and corrupt the
-    * offsets. Callers that fully consume the result eagerly should call the
-    * release handle; lazy consumers leave the (distinct-values-sized) cache
-    * in place.
+    * offsets. The release handle unpersists the sorted frame AND destroys the
+    * offsets broadcast — after calling it the returned frame must not be
+    * evaluated again.
     */
-  private def cumulativeCounts(df: DataFrame, valueCol: String): (DataFrame, Long, () => Unit) = {
+  private[analytics] def cumulativeCounts(df: DataFrame, valueCol: String): (DataFrame, Long, () => Unit) = {
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df
@@ -113,43 +114,17 @@ object NetworkAnalytics {
         it.map { case (v, c) => run += c; (v, c, run) }
       }
       .toDF("__v", "__c", "__cum")
-    (cum, n, () => { sorted.unpersist(); () })
+    (cum, n, () => { sorted.unpersist(); bo.destroy(); () })
   }
 
-  /** Exact NumPy-interpolation percentiles, distributed: the value owning each
-    * boundary index is found by an index-range probe against the cumulative
-    * counts (value v owns global 0-based row indices [__cum-__c, __cum)), then
-    * vlo + g·(vhi − vlo) with t = (n−1)·p, g = t − ⌊t⌋ — exactly
-    * np.percentile's linear rule and SQL `percentile`'s, without any single
-    * task ever holding all n values.
+  /** Exact NumPy-interpolation percentiles, one [[ValueDist]] build serving
+    * all requested ps (see ValueDist for the regime split; no single task
+    * ever holds all n values in either regime).
     */
   def percentilesExact(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[Double] = {
-    require(ps.nonEmpty, "need at least one percentile")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val (cum, n, release) = cumulativeCounts(df, valueCol)
-    require(n > 0, s"percentile of empty column $valueCol")
-    val targets = ps
-      .flatMap { p =>
-        val t = (n - 1) * p
-        Seq(math.floor(t).toLong, math.ceil(t).toLong)
-      }
-      .distinct
-    val idxDf = targets.toDF("__i")
-    val found = cum
-      .join(broadcast(idxDf), col("__i") >= col("__cum") - col("__c") && col("__i") < col("__cum"))
-      .select($"__i", $"__v")
-      .collect()
-      .map(r => r.getLong(0) -> r.getDouble(1))
-      .toMap
-    release()
-    ps.map { p =>
-      val t = (n - 1) * p
-      val lo = math.floor(t).toLong
-      val vlo = found(lo)
-      val vhi = found(math.ceil(t).toLong)
-      vlo + (vhi - vlo) * (t - lo)
-    }
+    val dist = ValueDist.of(df, valueCol)
+    try dist.percentiles(ps)
+    finally dist.release()
   }
 
   /** Exact percentile (linear interpolation, NumPy-equal), distributed. */
@@ -167,11 +142,18 @@ object NetworkAnalytics {
     val nnz = graph.numEdges // distinct (src,dst) pairs = G.nnz
     val n = graph.numVertices
 
-    // thresholds + medians via the distributed exact percentile (a single
-    // ObjectHashAggregate `percentile` holds all n doubles in one task)
-    val Seq(p90out, medOut) = percentilesExact(deg, "outDeg", Seq(0.9, 0.5))
-    val Seq(p90in, medIn) = percentilesExact(deg, "inDeg", Seq(0.9, 0.5))
-    val p95tot = percentileOfExact(deg, "totalDeg", 0.95)
+    // thresholds + medians: one ValueDist per column over the CACHED degree
+    // table (degreeTable has exactly n rows — the count job is skipped), each
+    // serving both of its probes from one pass
+    val distOut = ValueDist.of(deg, "outDeg", knownN = Some(n))
+    val Seq(p90out, medOut) = distOut.percentiles(Seq(0.9, 0.5))
+    distOut.release()
+    val distIn = ValueDist.of(deg, "inDeg", knownN = Some(n))
+    val Seq(p90in, medIn) = distIn.percentiles(Seq(0.9, 0.5))
+    distIn.release()
+    val distTot = ValueDist.of(deg, "totalDeg", knownN = Some(n))
+    val p95tot = distTot.percentile(0.95)
+    distTot.release()
 
     deg.agg(
       lit(n).as("total_providers"),
@@ -231,10 +213,14 @@ object NetworkAnalytics {
       .select($"vid", $"value".as("x"))
       .join(prior.select($"vid", $"value".as("r0")), Seq("vid"))
       .withColumn("amp", when($"r0" > 0, $"x" / $"r0").otherwise(lit(1.0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val Seq(t90, t95, t99, medRisk) = percentilesExact(joined, "x", Seq(0.9, 0.95, 0.99, 0.5))
+    // ONE distribution build serves all four thresholds + the median
+    val dist = ValueDist.of(joined, "x")
+    val Seq(t90, t95, t99, medRisk) = dist.percentiles(Seq(0.9, 0.95, 0.99, 0.5))
+    dist.release()
 
-    joined.agg(
+    val aggDf = joined.agg(
       avg($"x").as("mean_risk"),
       lit(medRisk).as("median_risk"),
       stddev_pop($"x").as("std_risk"),
@@ -254,6 +240,11 @@ object NetworkAnalytics {
       lit(t90).as("risk_threshold_90"),
       lit(t95).as("risk_threshold_95"),
       lit(t99).as("risk_threshold_99"))
+    // single-row result: evaluate eagerly so the joined cache can be dropped
+    // with zero persisted residue, and return a local relation
+    val row = aggDf.collect()(0)
+    joined.unpersist(false)
+    spark.createDataFrame(java.util.Collections.singletonList(row), aggDf.schema)
   }
 
   /** Per-provider high-risk records (pagerank.py:364-386): providers above the
@@ -266,10 +257,13 @@ object NetworkAnalytics {
     val joined = propagated
       .select($"vid", $"value".as("x"))
       .join(prior.select($"vid", $"value".as("r0")), Seq("vid"))
-    val thr = percentileOfExact(joined, "x", 0.9)
-    val withCdf = percentileRank(joined, "x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE distribution build serves both the p90 threshold and the CDF join
+    val dist = ValueDist.of(joined, "x")
+    val thr = dist.percentile(0.9)
+    val withCdf = joinCdf(joined, "x", dist)
       .withColumnRenamed("pct_rank", "risk_percentile")
-    withCdf
+    val out = withCdf
       .filter($"x" > lit(thr))
       .select(
         $"vid",
@@ -278,6 +272,19 @@ object NetworkAnalytics {
         when($"r0" > 0, $"x" / $"r0").otherwise(lit(1.0)).as("amplification_factor"),
         $"risk_percentile")
       .orderBy($"risk_score".desc, $"vid")
+    if (dist.isLocal) {
+      // result plan only references the (re-computable) join and a local CDF
+      // relation — drop the scratch cache now, consumption re-runs one cheap join
+      joined.unpersist(false)
+      out
+    } else {
+      // large regime: pin the (n/10-row) result so the cumulative cache can be
+      // freed; the pin is reclaimed by the ContextCleaner when unreferenced
+      val (pinned, _) = graft.graph.Lineage.pin(out)
+      dist.release()
+      joined.unpersist(false)
+      pinned
+    }
   }
 
   /** hubs/authorities/central categories (pagerank.py:444-455): vertices above
@@ -289,9 +296,13 @@ object NetworkAnalytics {
     val joined = graph.degreeTable
       .join(ranks.select($"vid", $"value".as("score")), Seq("vid"), "left")
       .na.fill(0.0, Seq("score"))
-    val hubThr = percentileOfExact(joined, "outDeg", 0.9)
-    val authThr = percentileOfExact(joined, "inDeg", 0.9)
-    val centThr = percentileOfExact(joined, "score", 0.9)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // left join on the full vertex table keeps exactly numVertices rows
+    val n = Some(graph.numVertices)
+    val hubThr = { val d = ValueDist.of(joined, "outDeg", knownN = n); val t = d.percentile(0.9); d.release(); t }
+    val authThr = { val d = ValueDist.of(joined, "inDeg", knownN = n); val t = d.percentile(0.9); d.release(); t }
+    val centThr = { val d = ValueDist.of(joined, "score", knownN = n); val t = d.percentile(0.9); d.release(); t }
+    joined.unpersist(false)
     joined
       .select(
         $"vid", $"score".as("centrality_score"),
@@ -365,13 +376,27 @@ object NetworkAnalytics {
   }
 
   /** Empirical CDF percentile (pagerank.py:371): share of values <= v, ×100.
-    * Fully distributed: the cumulative totals come from the two-phase ranked
-    * sum over distinct values (no single-partition window — round 1 fed ~n
-    * distinct propagated-risk doubles through one task here), then join back.
+    * Driver-local regime (n ≤ ValueDist.SmallN): broadcast join against a
+    * local CDF relation — zero persisted residue. Large regime: the two-phase
+    * ranked sum over distinct values (no single-partition window — round 1
+    * fed ~n distinct doubles through one task here); the result is pinned and
+    * the cumulative cache released before returning (round 2 leaked it for
+    * the session), so the only cluster state left is the result itself,
+    * reclaimed by the ContextCleaner when the frame is dropped.
     */
   def percentileRank(df: DataFrame, valueCol: String): DataFrame = {
-    val (cum, n, _) = cumulativeCounts(df, valueCol)
-    val pct = cum.select(col("__v"), (col("__cum") / lit(n.toDouble) * 100.0).as("pct_rank"))
-    df.join(pct, col(valueCol).cast("double") === col("__v")).drop("__v")
+    val dist = ValueDist.of(df, valueCol)
+    val out = joinCdf(df, valueCol, dist)
+    if (dist.isLocal) out
+    else {
+      val (pinned, _) = graft.graph.Lineage.pin(out)
+      dist.release()
+      pinned
+    }
+  }
+
+  private def joinCdf(df: DataFrame, valueCol: String, dist: ValueDist): DataFrame = {
+    val cdf = if (dist.isLocal) broadcast(dist.cdf) else dist.cdf
+    df.join(cdf, col(valueCol).cast("double") === col("__v")).drop("__v")
   }
 }

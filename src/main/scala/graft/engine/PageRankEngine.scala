@@ -76,6 +76,14 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
   /** Pinned helper RDDs (z / delta vectors) released when the run finishes. */
   @transient private val auxPins = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
 
+  /** Engines are SINGLE-SHOT: runFrom's finally releases the lazily-built
+    * zRdd/deltaRdd localCheckpoint pins, and an unpersisted localCheckpointed
+    * RDD cannot be recomputed — a second run would die with an opaque
+    * "checkpoint block not found". Guarded here with a clear error instead;
+    * build a fresh engine per run (all public entry points do).
+    */
+  @volatile private var ran = false
+
   def run(): PageRankOutcome = runFrom(initialVector(), 0)
 
   /** Resume from the newest durable checkpoint under cfg.checkpointDir. */
@@ -166,6 +174,11 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
   // ---------------------------------------------------------------- main loop
 
   private def runFrom(start: Dataset[RankChunk], startIter: Int): PageRankOutcome = {
+    if (ran)
+      throw new IllegalStateException(
+        "PageRankEngine is single-shot: its pinned aux vectors were released when the " +
+          "first run finished. Construct a fresh engine for every run()/resume().")
+    ran = true
     val t0 = System.nanoTime()
     val sc = spark.sparkContext
     val listener = new ShuffleMetricsListener
@@ -356,62 +369,107 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
 
     /** The gather-scatter matvec: zipPartitions the CACHED co-partitioned
       * adjacency with the identically-laid-out rank chunks (adjacency never
-      * moves), pre-combine scatter-adds across ALL parts of the block into
-      * lazily-allocated per-src-block dense slabs, then ONE shuffle of at
-      * most numBlocks BlockContrib values per task back to the owning
-      * blocks. Each value is a primitive-array slab (dense when fill > 1/2,
-      * compacted sparse otherwise) — never per-vertex row objects, whose
-      * serialization dominated the superstep and made shuffle volume grow
-      * with parallelism. Per-task slab memory is bounded by the touched
-      * slots, ≤ n doubles worst case (the same bound as the resident
-      * regime's dense scatter).
+      * moves), pre-combine scatter-adds across the block's parts into
+      * lazily-allocated per-src-block dense slabs, then shuffle the slabs
+      * back to the owning blocks as [[BlockContrib]] primitive-array values
+      * (dense when fill > 1/2, compacted sparse otherwise) — never
+      * per-vertex row objects, whose serialization dominated the superstep
+      * and made shuffle volume grow with parallelism.
+      *
+      * Per-task scratch is HARD-BOUNDED by [[PageRankEngine.SlabBudgetBytes]]:
+      * when allocated slab bytes exceed the budget mid-block, the current
+      * slabs are FLUSHED to the shuffle (the downstream gather sums multiple
+      * contribs per block, so partial slabs are correct) and scratch restarts
+      * empty. Without the flush, peak superstep memory is
+      * concurrentTasks × touched-slots × 8 B — at hub-heavy 100×-scale blocks
+      * that is the executor-memory ceiling; with it, the peak is
+      * concurrentTasks × budget, at the cost of a slightly larger shuffle in
+      * exactly the (rare) tasks that overflow.
       */
     def contribsOf(x: RDD[RankChunk]): RDD[(Int, BlockContrib)] =
       adj.zipPartitions(x) { (adjIt, xIt) =>
         if (!xIt.hasNext) Iterator.empty
         else {
           val chunk = xIt.next()
-          val slabs = new Array[Array[Double]](nb)
-          val touched = new Array[Int](nb)
-          adjIt.foreach { case (_, part) =>
-            var i = 0
-            while (i < part.keys.length) {
-              val xv = chunk.values(part.keys(i))
-              if (xv != 0.0) {
-                var j = part.offsets(i)
-                val end = part.offsets(i + 1)
-                while (j < end) {
-                  val src = part.adj(j)
-                  val b = (src / bs).toInt
-                  var slab = slabs(b)
-                  if (slab == null) {
-                    slab = new Array[Double](math.min(bs, nv - b.toLong * bs).toInt)
-                    slabs(b) = slab
+          val budget = PageRankEngine.SlabBudgetBytes
+          new Iterator[(Int, BlockContrib)] {
+            private var slabs = new Array[Array[Double]](nb)
+            private var touched = new Array[Int](nb)
+            private var allocBytes = 0L
+            private var anySlab = false
+            private var pending: Iterator[(Int, BlockContrib)] = Iterator.empty
+            private var nextElem: (Int, BlockContrib) = _
+            advance()
+
+            private def drain(): Iterator[(Int, BlockContrib)] = {
+              val out = Iterator.range(0, nb).filter(slabs(_) != null).map { b =>
+                val slab = slabs(b)
+                if (touched(b).toLong * 2 >= slab.length) (b, BlockContrib(b, slab, null, null))
+                else {
+                  val idx = new Array[Int](touched(b))
+                  val vs = new Array[Double](touched(b))
+                  var c = 0
+                  var i = 0
+                  while (i < slab.length) {
+                    if (slab(i) != 0.0) { idx(c) = i; vs(c) = slab(i); c += 1 }
+                    i += 1
                   }
-                  val local = (src - b.toLong * bs).toInt
-                  if (slab(local) == 0.0) touched(b) += 1
-                  slab(local) += part.wNorm(j) * xv
-                  j += 1
+                  val fi = if (c == idx.length) idx else java.util.Arrays.copyOf(idx, c)
+                  val fv = if (c == vs.length) vs else java.util.Arrays.copyOf(vs, c)
+                  (b, BlockContrib(b, null, fi, fv))
                 }
-              }
-              i += 1
+              }.toArray // snapshot refs so scratch arrays can be replaced
+              slabs = new Array[Array[Double]](nb)
+              touched = new Array[Int](nb)
+              allocBytes = 0L
+              anySlab = false
+              out.iterator
             }
-          }
-          Iterator.range(0, nb).filter(slabs(_) != null).map { b =>
-            val slab = slabs(b)
-            if (touched(b).toLong * 2 >= slab.length) (b, BlockContrib(b, slab, null, null))
-            else {
-              val idx = new Array[Int](touched(b))
-              val vs = new Array[Double](touched(b))
-              var c = 0
+
+            private def processPart(part: graft.model.AdjPart): Unit = {
               var i = 0
-              while (i < slab.length) {
-                if (slab(i) != 0.0) { idx(c) = i; vs(c) = slab(i); c += 1 }
+              while (i < part.keys.length) {
+                val xv = chunk.values(part.keys(i))
+                if (xv != 0.0) {
+                  var j = part.offsets(i)
+                  val end = part.offsets(i + 1)
+                  while (j < end) {
+                    val src = part.adj(j)
+                    val b = (src / bs).toInt
+                    var slab = slabs(b)
+                    if (slab == null) {
+                      slab = new Array[Double](math.min(bs, nv - b.toLong * bs).toInt)
+                      slabs(b) = slab
+                      allocBytes += slab.length.toLong * 8
+                      anySlab = true
+                    }
+                    val local = (src - b.toLong * bs).toInt
+                    if (slab(local) == 0.0) touched(b) += 1
+                    slab(local) += part.wNorm(j) * xv
+                    j += 1
+                  }
+                }
                 i += 1
               }
-              val fi = if (c == idx.length) idx else java.util.Arrays.copyOf(idx, c)
-              val fv = if (c == vs.length) vs else java.util.Arrays.copyOf(vs, c)
-              (b, BlockContrib(b, null, fi, fv))
+            }
+
+            private def advance(): Unit = {
+              nextElem = null
+              while (nextElem == null) {
+                if (pending.hasNext) nextElem = pending.next()
+                else if (adjIt.hasNext) {
+                  processPart(adjIt.next()._2)
+                  if (allocBytes > budget) pending = drain()
+                } else if (anySlab) pending = drain()
+                else return
+              }
+            }
+
+            override def hasNext: Boolean = nextElem != null
+            override def next(): (Int, BlockContrib) = {
+              val e = nextElem
+              advance()
+              e
             }
           }
         }
@@ -585,6 +643,12 @@ object PageRankEngine {
 
   /** Per-superstep stderr progress (env GRAFT_DEBUG). */
   val debug: Boolean = sys.env.contains("GRAFT_DEBUG")
+
+  /** Per-task scratch budget for the distributed superstep's contribution
+    * slabs; exceeding it flushes partial slabs to the shuffle (correct —
+    * the gather sums them). Executor peak ≈ concurrentTasks × this.
+    */
+  var SlabBudgetBytes: Long = 256L * 1024 * 1024
 
   /** Sum incoming contribution slabs (dense or compacted sparse) into gx. */
   private[engine] def gatherContribs(

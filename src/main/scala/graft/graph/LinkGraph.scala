@@ -284,15 +284,32 @@ object LinkGraph {
   /** Cap on edges per adjacency part — bounds single-task work under skew. */
   val MaxEdgesPerPart: Int = 2 << 20
 
+  /** Vertex-id sizing policy (SURVEY §1.3): the shared-patterns project
+    * compacts ids to 0..n−1 over the OBSERVED vertices (pagerank.py:622-627);
+    * the original solver project sizes the graph dense by the MAX id,
+    * n = max(id)+1, so unreferenced ids below the max exist as isolated
+    * vertices and receive teleport-only mass
+    * (original_pagerank/pagerank.py:161).
+    */
+  sealed trait IdMode
+  object IdMode {
+    case object Compacted extends IdMode
+    case object DenseByMax extends IdMode
+  }
+
   /** Fold duplicates, build the dictionary, remap to dense vids, and block the
     * adjacency. `rawEdges` must have long columns `src`, `dst` (external ids);
     * duplicates are summed, weight columns beyond (src,dst) are ignored —
-    * exactly load_graph (pagerank.py:617-640).
+    * exactly load_graph (pagerank.py:617-640). `idMode` selects compacted
+    * (default, reference shared-patterns behavior) or dense-by-max vertex
+    * numbering (the original solver's `n = max(id)+1`; ids must be ≥ 0 and
+    * vid = extId, no remap join at all).
     */
   def fromEdgeList(
       spark: SparkSession,
       rawEdges: DataFrame,
-      numBlocks: Int = 0
+      numBlocks: Int = 0,
+      idMode: IdMode = IdMode.Compacted
   ): LinkGraph = {
     import spark.implicits._
 
@@ -301,24 +318,35 @@ object LinkGraph {
       .groupBy($"src", $"dst")
       .agg(count(lit(1)).cast("double").as("weight"))
 
-    val dict = buildDictionary(spark, folded)
-    dict.persist(StorageLevel.MEMORY_AND_DISK)
-    val n = dict.count()
+    idMode match {
+      case IdMode.DenseByMax =>
+        val bounds = folded
+          .agg(max(greatest($"src", $"dst")).as("mx"), min(least($"src", $"dst")).as("mn"))
+          .first()
+        require(!bounds.isNullAt(0), "dense-by-max graph needs at least one edge")
+        require(bounds.getLong(1) >= 0L, "dense-by-max ids must be non-negative")
+        fromDenseWeighted(spark, folded.as[Edge], bounds.getLong(0) + 1, numBlocks)
 
-    val srcDict = dict.toDF("extId", "vid")
-    val remapped = folded
-      .join(srcDict.withColumnRenamed("extId", "src").withColumnRenamed("vid", "srcVid"), Seq("src"))
-      .join(srcDict.withColumnRenamed("extId", "dst").withColumnRenamed("vid", "dstVid"), Seq("dst"))
-      .select($"srcVid".as("src"), $"dstVid".as("dst"), $"weight")
-      .as[Edge]
+      case IdMode.Compacted =>
+        val dict = buildDictionary(spark, folded)
+        dict.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = dict.count()
 
-    val blocks =
-      if (numBlocks > 0) numBlocks
-      else math.max(1, math.min(spark.sparkContext.defaultParallelism * 2, math.max(1L, n / 1024L).toInt))
-    val bs = (n + blocks - 1) / math.max(blocks, 1)
+        val srcDict = dict.toDF("extId", "vid")
+        val remapped = folded
+          .join(srcDict.withColumnRenamed("extId", "src").withColumnRenamed("vid", "srcVid"), Seq("src"))
+          .join(srcDict.withColumnRenamed("extId", "dst").withColumnRenamed("vid", "dstVid"), Seq("dst"))
+          .select($"srcVid".as("src"), $"dstVid".as("dst"), $"weight")
+          .as[Edge]
 
-    val edges = remapped.persist(StorageLevel.MEMORY_AND_DISK)
-    new LinkGraph(spark, dict, edges, n, blocks, math.max(bs, 1))
+        val blocks =
+          if (numBlocks > 0) numBlocks
+          else math.max(1, math.min(spark.sparkContext.defaultParallelism * 2, math.max(1L, n / 1024L).toInt))
+        val bs = (n + blocks - 1) / math.max(blocks, 1)
+
+        val edges = remapped.persist(StorageLevel.MEMORY_AND_DISK)
+        new LinkGraph(spark, dict, edges, n, blocks, math.max(bs, 1))
+    }
   }
 
   /** Same, but edges are already (src, dst, weight) in dense vid space 0..n-1. */

@@ -57,7 +57,23 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocsPerShingle: Int = 500
-  ): DataFrame = {
+  ): DataFrame =
+    jaccardPairsWithStats(docs, idCol, textCol, n, threshold, maxDocsPerShingle)._1
+
+  /** [[jaccardPairs]] plus its completeness loss as DATA: the second element
+    * is the number of hot shingles (document frequency > maxDocsPerShingle)
+    * excluded from candidate generation — pairs supported ONLY by dropped
+    * shingles are not generated. Round 2 only printed this to stderr, which
+    * is invisible to programmatic callers; here it is machine-checkable.
+    */
+  def jaccardPairsWithStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocsPerShingle: Int = 500
+  ): (DataFrame, Long) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ds = docs
@@ -84,12 +100,13 @@ object Dedup {
       .join(kept.as("r"), col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "szA"), Seq("a"))
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szB"), Seq("b"))
       .withColumn("jaccard", $"inter" / ($"szA" + $"szB" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"jaccard")
+    (pairs, dropped)
   }
 
   /** MinHash signature: numHashes seeded xxhash64 minima over the shingle set. */

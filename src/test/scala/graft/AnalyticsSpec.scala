@@ -123,6 +123,56 @@ class AnalyticsSpec extends GraftSuite {
     assert(other != s1, "different seed, different sample")
   }
 
+  test("ValueDist: distributed regime matches the driver-local regime and numpy") {
+    import graft.analytics.ValueDist
+    val rng = new scala.util.Random(11)
+    val data = Array.fill(8000)(math.floor(rng.nextDouble() * 2000.0) / 8.0 - 100.0)
+    val df = data.toSeq.toDF("v").repartition(5)
+    val ps = Seq(0.0, 0.01, 0.5, 0.9, 0.95, 0.99, 1.0)
+    val local = ValueDist.of(df, "v")
+    assert(local.isLocal)
+    val forced = ValueDist.of(df, "v", forceDistributed = true)
+    assert(!forced.isLocal)
+    val a = local.percentiles(ps)
+    val b = forced.percentiles(ps)
+    val sorted = data.sorted
+    ps.indices.foreach { i =>
+      val want = npPercentile(sorted, ps(i) * 100)
+      assert(math.abs(a(i) - want) < 1e-9, s"local p=${ps(i)}")
+      assert(math.abs(b(i) - want) < 1e-9, s"distributed p=${ps(i)}")
+    }
+    // CDF parity between regimes
+    val cdfL = local.cdf.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val cdfD = forced.cdf.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(cdfL.keySet == cdfD.keySet)
+    cdfL.foreach { case (v, p) => assert(math.abs(cdfD(v) - p) < 1e-9, s"v=$v") }
+    forced.release()
+    local.release()
+  }
+
+  test("percentile machinery leaves no cached state behind (round-2 leak fix)") {
+    val sc = spark.sparkContext
+    import graft.analytics.ValueDist
+    val df = (1 to 3000).map(i => (i.toLong, (i % 97).toDouble)).toDF("vid", "value")
+    // set-difference, not counts: the ContextCleaner may concurrently reap
+    // stale RDDs from earlier tests, which would shrink a raw count
+    def ids = sc.getPersistentRDDs.keySet
+    val before = ids
+
+    // driver-local consumers: zero residue
+    NetworkAnalytics.percentileRank(df, "value").count()
+    NetworkAnalytics.riskStatistics(df, df).collect()
+    NetworkAnalytics.highRiskProviders(df, df).count()
+    assert((ids -- before).isEmpty, s"leaked persistent RDDs: ${ids -- before}")
+
+    // distributed regime: release() must drop the cumulative cache
+    val dist = ValueDist.of(df, "value", forceDistributed = true)
+    dist.percentiles(Seq(0.5, 0.9))
+    assert((ids -- before).nonEmpty, "distributed regime should cache while alive")
+    dist.release()
+    assert((ids -- before).isEmpty, "release() must unpersist the cumulative frame")
+  }
+
   test("network metrics mirror hand-computed values on a tiny graph") {
     // 0->1 (x2 dup), 1->2; weighted degrees: in: [0,2,1], out: [2,1,0]
     val g = LinkGraph.fromEdgeList(

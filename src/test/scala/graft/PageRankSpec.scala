@@ -124,6 +124,65 @@ class PageRankSpec extends GraftSuite {
     } finally PageRankEngine.BroadcastThresholdBytes = saved
   }
 
+  test("engine is single-shot: a second run fails fast with a clear message") {
+    val g = graphOf(dupes)
+    val engine = new PageRankEngine(g, PageRankConfig(0.85, 0.0, 3, PageRankMode.ReferenceRenorm))
+    engine.run().free()
+    val e = intercept[IllegalStateException](engine.run())
+    assert(e.getMessage.contains("single-shot"), e.getMessage)
+    g.unpersistAll()
+  }
+
+  test("slab budget flush: partial contribution slabs still sum to the exact kernel") {
+    val savedThr = PageRankEngine.BroadcastThresholdBytes
+    val savedBudget = PageRankEngine.SlabBudgetBytes
+    try {
+      PageRankEngine.BroadcastThresholdBytes = 0L // distributed regime
+      PageRankEngine.SlabBudgetBytes = 1L // flush after EVERY adjacency part
+      val n = 120
+      val edges = DenseReference.randomEdges(n, 0.15, seed = 23)
+      val g = graphOf(edges, numBlocks = 6)
+      val out = PageRank.run(g, damping = 0.85, tolerance = 0.0, maxIterations = 6)
+      val (want, _, _, _) = DenseReference.pagerank(n, edges, 0.85, 0.0, 6)
+      assertAllClose(ranksArray(g, out), want, 1e-12)
+      out.free()
+      g.unpersistAll()
+    } finally {
+      PageRankEngine.BroadcastThresholdBytes = savedThr
+      PageRankEngine.SlabBudgetBytes = savedBudget
+    }
+  }
+
+  test("dense-by-max id mode sizes the graph as max(id)+1 (original solver semantics)") {
+    import graft.graph.LinkGraph.IdMode
+    // contiguous ids: both modes must agree exactly
+    val contiguous = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 0L))
+    val gc = LinkGraph.fromEdgeList(spark, contiguous.toDF("src", "dst"), numBlocks = 2)
+    val gd = LinkGraph.fromEdgeList(spark, contiguous.toDF("src", "dst"), numBlocks = 2,
+      idMode = IdMode.DenseByMax)
+    assert(gc.numVertices == 4 && gd.numVertices == 4)
+    val rc = ranksArray(gc, PageRank.run(gc, tolerance = 0.0, maxIterations = 8))
+    val rd = ranksArray(gd, PageRank.run(gd, tolerance = 0.0, maxIterations = 8))
+    assertAllClose(rd, rc, 1e-12)
+    gc.unpersistAll(); gd.unpersistAll()
+
+    // sparse ids: dense-by-max keeps unreferenced ids as isolated vertices —
+    // exactly original_pagerank/pagerank.py:161's n = max(id)+1 sizing
+    val sparse = Seq((0L, 2L), (2L, 5L), (5L, 0L))
+    val gs = LinkGraph.fromEdgeList(spark, sparse.toDF("src", "dst"), numBlocks = 2,
+      idMode = IdMode.DenseByMax)
+    assert(gs.numVertices == 6)
+    val got = ranksArray(gs, PageRank.run(gs, tolerance = 0.0, maxIterations = 8))
+    val (want, _, _, _) = DenseReference.pagerank(
+      6, sparse.map { case (s, t) => (s.toInt, t.toInt, 1.0) }, 0.85, 0.0, 8)
+    assertAllClose(got, want, 1e-12)
+    // compacted relabels the same structure to 3 vertices; the linked
+    // vertices' relative order is preserved under relabeling
+    val gcs = LinkGraph.fromEdgeList(spark, sparse.toDF("src", "dst"), numBlocks = 2)
+    assert(gcs.numVertices == 3)
+    gs.unpersistAll(); gcs.unpersistAll()
+  }
+
   test("cross-algorithm agreement: power iteration vs dense direct solve (reference §3.4)") {
     // strongly-connected fixtures (no dangling) — all three formulations agree
     for ((name, edges) <- Seq("twoCycle" -> twoCycle, "dupes" -> dupes)) {

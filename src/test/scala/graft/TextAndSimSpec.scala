@@ -157,6 +157,89 @@ class TextAndSimSpec extends GraftSuite {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("auto-sized LSH at a near-dup threshold generates FEWER candidates than brute force") {
+    val n = 1000
+    val rng = new scala.util.Random(29)
+    // background: random gaussian vectors; plus 5 planted near-dup pairs
+    val base = (0 until n - 5).map(i => (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val planted = (0 until 5).map { i =>
+      val src = base(i * 7)._2
+      ((n - 5 + i).toLong, src.map(v => v + 0.05f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("id", "vec")
+    val (bits, tables) = Ann.lshParams(n, 0.8)
+    val candidates = Ann.candidatePairEstimate(df, dim = 64, bits = bits, tables = tables)
+    val brutePairs = n.toLong * (n - 1) / 2
+    assert(candidates < brutePairs,
+      s"bits=$bits tables=$tables candidates=$candidates !< brute=$brutePairs")
+    // and the auto-sized pair job still recovers every planted pair
+    val got = Ann.cosinePairsLsh(df, threshold = 0.8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.zipWithIndex.foreach { case ((pid, _), i) =>
+      val orig = base(i * 7)._1
+      assert(got.contains((orig, pid)), s"planted pair ($orig,$pid) missed")
+    }
+  }
+
+  test("jaccardPairsWithStats surfaces the hot-shingle completeness loss as data") {
+    val docs = Seq(
+      (0L, "common token alpha beta"),
+      (1L, "common token gamma delta"),
+      (2L, "common token epsilon zeta"),
+      (3L, "common token eta theta"),
+      (4L, "unrelated words entirely here")).toDF("doc_id", "text")
+    // "common token" appears in 4 docs: with cap 3 it must be dropped and counted
+    val (_, dropped) = Dedup.jaccardPairsWithStats(docs, "doc_id", "text",
+      n = 2, threshold = 0.1, maxDocsPerShingle = 3)
+    assert(dropped >= 1L, s"expected >=1 dropped hot shingle, got $dropped")
+    val (_, none) = Dedup.jaccardPairsWithStats(docs, "doc_id", "text",
+      n = 2, threshold = 0.1, maxDocsPerShingle = 100)
+    assert(none == 0L)
+  }
+
+  test("real image headers decode to exact dimensions (PNG IHDR, JPEG SOF, GIF LSD)") {
+    import scala.collection.mutable.ArrayBuffer
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = ArrayBuffer[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13,
+        'I', 'H', 'D', 'R')
+      b ++= Seq(w >>> 24, (w >>> 16) & 0xff, (w >>> 8) & 0xff, w & 0xff)
+      b ++= Seq(h >>> 24, (h >>> 16) & 0xff, (h >>> 8) & 0xff, h & 0xff)
+      b ++= Seq(8, 6, 0, 0, 0) // bit depth, color type, ...
+      b.map(_.toByte).toArray
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = ArrayBuffer[Int](0xff, 0xd8) // SOI
+      b ++= Seq(0xff, 0xe0, 0x00, 0x10) // APP0, len 16
+      b ++= Seq.fill(14)(0x4a) // APP0 payload
+      b ++= Seq(0xff, 0xc2, 0x00, 0x11, 0x08) // SOF2 (progressive), len 17, precision
+      b ++= Seq(h >>> 8, h & 0xff, w >>> 8, w & 0xff)
+      b ++= Seq.fill(10)(0x00) // components
+      b.map(_.toByte).toArray
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      (Seq[Int]('G', 'I', 'F', '8', '9', 'a') ++
+        Seq(w & 0xff, w >>> 8, h & 0xff, h >>> 8) ++ Seq(0, 0, 0)).map(_.toByte).toArray
+
+    assert(Multimodal.HeaderDecoder.dimensions(png(640, 480)).contains((640, 480)))
+    assert(Multimodal.HeaderDecoder.dimensions(jpeg(1920, 1080)).contains((1920, 1080)))
+    assert(Multimodal.HeaderDecoder.dimensions(gif(320, 200)).contains((320, 200)))
+    assert(Multimodal.HeaderDecoder.dimensions("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.HeaderDecoder.dimensions(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+
+    // and through the batched pipeline: real headers win, everything else
+    // falls back to the declared stub
+    val media = Seq(
+      (1L, "image", png(640, 480)),
+      (2L, "image", jpeg(1920, 1080)),
+      (3L, "image", gif(320, 200)),
+      (4L, "audio", "just bytes".getBytes("UTF-8"))).toDF("media_id", "media_type", "payload")
+    val feats = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 640 && feats(1L).height == 480)
+    assert(feats(2L).width == 1920 && feats(2L).height == 1080)
+    assert(feats(3L).width == 320 && feats(3L).height == 200)
+    assert(feats(4L).byte_len == 10L)
+  }
+
   test("multimodal pipeline: schema, determinism, frame sampling plan") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.syntheticMedia(d, "doc_id", "text")
