@@ -454,6 +454,82 @@ object OracleSql {
        |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $threshold
        |ORDER BY a, b""".stripMargin
 
+  /** Engine-portable 60-bit hash (Dedup.portableHash60's DuckDB twin):
+    * first 15 md5 hex nibbles parsed as an integer.
+    */
+  private def h60(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** MinHash + LSH banding with the portable md5-based hash — the exact
+    * algorithm Dedup.minhashLshPairs(portable = true) runs: per-seed minima
+    * over distinct word-n-gram shingles, band buckets over signature slices,
+    * candidates inside buckets, estimated Jaccard = agreeing-minima fraction.
+    */
+  def minhashLsh(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val numHashes = bands * rowsPerBand
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents),
+       |dsh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS sh
+       |  FROM docs, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+       |  WHERE len(w) >= 2
+       |),
+       |mh AS MATERIALIZED (
+       |  SELECT doc_id, seed, min(${h60("seed::VARCHAR || ':' || sh")}) AS mh
+       |  FROM dsh, UNNEST(generate_series(1, $numHashes)) AS t(seed)
+       |  GROUP BY 1, 2
+       |),
+       |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1),
+       |banded AS MATERIALIZED (
+       |  SELECT doc_id, b,
+       |         ${h60(s"b::VARCHAR || '|' || array_to_string(sig[b*$rowsPerBand+1 : b*$rowsPerBand+$rowsPerBand], ',')")} AS bucket
+       |  FROM sig, UNNEST(generate_series(0, ${bands - 1})) AS t(b)
+       |),
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM banded l JOIN banded r ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |),
+       |agree AS MATERIALIZED (
+       |  SELECT c.a, c.b, CAST(count(*) FILTER (la.mh = lb.mh) AS DOUBLE) / $numHashes AS est
+       |  FROM cands c
+       |  JOIN mh la ON la.doc_id = c.a
+       |  JOIN mh lb ON lb.doc_id = c.b AND lb.seed = la.seed
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, round(est, 6) AS est_jaccard FROM agree WHERE est >= $threshold
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** 60-bit portable SimHash pairs — the DuckDB twin of
+    * Dedup.simhashPairs(portable = true): per-token md5-60 hashes, sign-sum
+    * bits, 4×15-bit band candidate buckets, exact Hamming verify.
+    */
+  def simhashPairs(maxHamming: Int): String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents
+       |),
+       |th AS MATERIALIZED (
+       |  SELECT doc_id, ${h60("tok")} AS h FROM toks WHERE tok <> ''
+       |),
+       |bits AS MATERIALIZED (
+       |  SELECT doc_id, b,
+       |         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM th, UNNEST(generate_series(0, 59)) AS t(b)
+       |  GROUP BY 1, 2
+       |),
+       |sig AS MATERIALIZED (SELECT doc_id, sum(bit << b) AS sig FROM bits GROUP BY 1),
+       |banded AS MATERIALIZED (
+       |  SELECT doc_id, sig, q, (sig >> (q * 15)) & 32767 AS bucket
+       |  FROM sig, UNNEST(generate_series(0, 3)) AS t(q)
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |         bit_count(xor(l.sig, r.sig)) AS hamming
+       |  FROM banded l JOIN banded r ON l.q = r.q AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM pairs WHERE hamming <= $maxHamming
+       |ORDER BY a, b""".stripMargin
+
   val langId: String = {
     val markers = Seq(
       "en" -> Seq(" the ", " and ", " of ", " to ", " is "),

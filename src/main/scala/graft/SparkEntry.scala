@@ -282,14 +282,20 @@ object SparkEntry {
         .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     },
-    "q_minhash_lsh" -> { (s, dir) => // xxhash64 signatures: no DuckDB twin — rows-only
+    // portable md5-based signatures: DuckDB mirrors the EXACT hash math, so
+    // these probabilistic-banding operators get full value-level oracles
+    // (round 2 ran them rows-only because xxhash64 has no DuckDB twin)
+    "q_minhash_lsh" -> { (s, dir) =>
       import s.implicits._
-      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.5, portable = true)
+        .select($"a", $"b", round($"est_jaccard", 6).as("est_jaccard"))
         .orderBy($"a", $"b")
     },
-    "q_simhash_pairs" -> { (s, dir) => // rows-only
+    "q_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6).orderBy($"a", $"b")
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6, portable = true)
+        .select($"a", $"b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"a", $"b")
     },
     "q_langid" -> { (s, dir) =>
       import s.implicits._
@@ -396,6 +402,8 @@ object SparkEntry {
     "q_clustering" -> OracleSql.clusteringCoefficients,
     "q_dedup_exact" -> OracleSql.dedupExact,
     "q_jaccard_pairs" -> OracleSql.jaccardPairs(0.5),
+    "q_minhash_lsh" -> OracleSql.minhashLsh(16, 4, 0.5),
+    "q_simhash_pairs" -> OracleSql.simhashPairs(6),
     "q_langid" -> OracleSql.langId,
     "q_quality" -> OracleSql.quality,
     "q_token_counts" -> OracleSql.tokenCounts,

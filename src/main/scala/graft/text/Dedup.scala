@@ -109,12 +109,28 @@ object Dedup {
     (pairs, dropped)
   }
 
-  /** MinHash signature: numHashes seeded xxhash64 minima over the shingle set. */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+  /** 60-bit ENGINE-PORTABLE hash: first 15 hex nibbles of md5, parsed as an
+    * integer — bit-for-bit computable in Spark (`conv(substring(md5(x),1,15),
+    * 16,10)`) AND DuckDB (`('0x' || substr(md5(x),1,15))::BIGINT`), so
+    * signature operators built on it get a FULL value-level DuckDB oracle.
+    * xxhash64 (the default, ~10× cheaper) has no DuckDB twin and only allows
+    * rows-only checks; use `portable = true` on the signature operators when
+    * cross-engine verifiability matters more than hash throughput.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature: numHashes seeded hash minima over the shingle set
+    * (xxhash64 by default; md5-based [[portableHash60]] when `portable`).
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int, portable: Boolean = false): Column = {
     val sh = shingles(text, n)
     transform(
       sequence(lit(1), lit(numHashes)),
-      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+      seed =>
+        array_min(transform(sh, s =>
+          if (portable) portableHash60(concat(seed.cast("string"), lit(":"), s))
+          else xxhash64(s, seed))))
   }
 
   /** MinHash + LSH banding near-duplicate candidate pairs, verified with the
@@ -132,7 +148,8 @@ object Dedup {
       n: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      portable: Boolean = false
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -144,16 +161,19 @@ object Dedup {
     val sigs = docs
       .filter(size(shingles(col(textCol), n)) > 0)
       .select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), n, numHashes).as("sig"))
+        minhashSignature(col(textCol), n, numHashes, portable).as("sig"))
+    def bandBucket(b: Column): Column = {
+      val sliceStr =
+        transform(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string"))
+      if (portable) portableHash60(concat(b.cast("string"), lit("|"), array_join(sliceStr, ",")))
+      else xxhash64(array_join(sliceStr, ","), b)
+    }
     val banded = sigs.select(
       $"doc_id", $"sig",
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            xxhash64(array_join(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)), ","), b)
-              .as("bucket")))).as("bb"))
+          b => struct(b.as("band"), bandBucket(b).as("bucket")))).as("bb"))
       .select($"doc_id", $"sig", $"bb.band", $"bb.bucket")
     val cands = banded.as("l")
       .join(banded.as("r"),
@@ -173,16 +193,21 @@ object Dedup {
       .select($"a", $"b", $"est_jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit b is 1 iff the weighted sum of
+  /** SimHash over whitespace tokens: bit b is 1 iff the weighted sum of
     * token-hash bit b (+1/−1) is positive. Pure column expressions: per-doc
-    * fold over the token array, no explode, no UDAF.
+    * fold over the token array, no explode, no UDAF. Default: 64-bit over
+    * xxhash64. `portable`: 60-bit over [[portableHash60]] with empty tokens
+    * dropped — exactly reproducible in DuckDB for a value-level oracle.
     */
-  def simhash(text: Column): Column = {
-    val tokens = split(text, "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
+  def simhash(text: Column, portable: Boolean = false): Column = {
+    val width = if (portable) 60 else 64
+    val rawTokens = split(text, "\\s+")
+    val tokens =
+      if (portable) filter(rawTokens, t => length(t) > 0) else rawTokens
+    val hashes = transform(tokens, t => if (portable) portableHash60(t) else xxhash64(t))
     // for each bit: sum of +-1 across token hashes, then assemble the sign bits
     val bits = transform(
-      sequence(lit(0), lit(63)),
+      sequence(lit(0), lit(width - 1)),
       b =>
         when(
           aggregate(
@@ -192,7 +217,7 @@ object Dedup {
             > 0,
           1L).otherwise(0L))
     aggregate(
-      sequence(lit(0), lit(63)),
+      sequence(lit(0), lit(width - 1)),
       lit(0L),
       (acc, b) => acc.bitwiseOR(call_function("shiftleft", element_at(bits, b + 1), b)))
   }
@@ -201,18 +226,27 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-duplicate pairs within maxHamming, candidate-generated by
-    * 4×16-bit band buckets (a pair within Hamming ≤ 3 must agree on at least
-    * one 16-bit quarter — pigeonhole), verified exactly.
+    * 4 band buckets (16-bit quarters of the 64-bit default; 15-bit quarters
+    * of the 60-bit `portable` variant — a pair within Hamming ≤ 3 must agree
+    * on at least one band by pigeonhole), verified exactly.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      portable: Boolean = false
+  ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
+    val bandBits = if (portable) 15 else 16
+    val bandMask = (1L << bandBits) - 1
+    val sigs = docs.select(col(idCol).as("doc_id"), simhash(col(textCol), portable).as("sig"))
     val banded = sigs.select(
       $"doc_id", $"sig",
       explode(
         transform(sequence(lit(0), lit(3)),
-          q => struct(q.as("q"), call_function("shiftright", $"sig", q * lit(16)).bitwiseAND(lit(0xFFFFL)).as("bucket"))))
+          q => struct(q.as("q"), call_function("shiftright", $"sig", q * lit(bandBits)).bitwiseAND(lit(bandMask)).as("bucket"))))
         .as("bb"))
       .select($"doc_id", $"sig", $"bb.q", $"bb.bucket")
     banded.as("l")

@@ -70,6 +70,22 @@ class TextAndSimSpec extends GraftSuite {
     assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(4L)))
   }
 
+  test("portableHash60 matches the cross-engine md5 definition") {
+    // ('0x' || substr(md5('abc'),1,15))::BIGINT in DuckDB = 648541476951500027
+    val got = Seq("abc").toDF("s")
+      .select(Dedup.portableHash60($"s").as("h")).first().getLong(0)
+    assert(got == 648541476951500027L)
+    // portable signature operators stay deterministic and banding-complete
+    // for identical texts (bucket collision is certain)
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 2, threshold = 0.9, portable = true)
+      .collect()
+    assert(mh.length == 1 && mh(0).getDouble(2) == 1.0)
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0, portable = true).collect()
+    assert(sh.length == 1)
+  }
+
   test("language id picks the marker language; markerless text is 'und'") {
     val out = TextAnalytics.languageId(docs, "text")
       .select($"doc_id", $"lang_guess").collect()
