@@ -24,6 +24,13 @@ import graft.sources.{RepoFiles, TestdataGraph}
   *      scale). Round 1 ran legs inside one shared JVM and heap/cache
   *      residue inverted the scaling signal; forking a process per leg is
   *      the fix.
+  *
+  * Phases 3 and 4 run ≥3 REPEATS each, INTERLEAVED (A/B/C, A/B/C, …), and
+  * report the per-leg MEDIAN plus min/max spread in the JSON itself —
+  * round 2 recorded single runs and its 1-core leg landed 2× off the
+  * idle-box number, making the scaling efficiency physically implausible
+  * (1.98); medians over interleaved repeats make one noisy window visible
+  * instead of definitive.
   */
 object Bench {
 
@@ -135,10 +142,21 @@ object Bench {
     spark.stop()
     TestdataGraph.clearCache()
 
-    // ---- phase 3: headline kernel throughput, fresh JVM at full cores ----
-    val ((tMain, foldedE), kernelSec) =
-      time(forkKernelLeg(cpus, benchVertices, benchEdges, 12, "resident"))
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val legIters = sys.env.getOrElse("SPARK_GRAFT_LEG_ITERS", "6").toInt
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+
+    // ---- phase 3: headline kernel throughput, fresh JVM per repeat ----
+    val (kernelRuns, kernelSec) = time {
+      (0 until reps).map(_ => forkKernelLeg(cpus, benchVertices, benchEdges, 12, "resident"))
+    }
     results += "kernel_pagerank_12steps" -> kernelSec
+    val foldedE = kernelRuns.head._2
+    val kernelTimes = kernelRuns.map(_._1)
+    val tMain = median(kernelTimes)
     val edgesPerSec = foldedE / tMain
 
     // ---- phase 4: N vs 4N scaling legs, one fresh JVM each, same input ----
@@ -151,29 +169,39 @@ object Bench {
     // (its 4→cpus efficiency hits this single socket's shuffle/DRAM ceiling —
     // memory channels scale with NODES on a real cluster; see BASELINE.md).
     val legCores = Seq(1, math.max(1, cpus / 8), cpus).distinct
-    val legs = legCores.map { c =>
-      val (t, f) = forkKernelLeg(c, scaleVertices, scaleEdges, 12, "distributed")
-      (c, t, f)
+    val samples = scala.collection.mutable.LinkedHashMap(
+      legCores.map(c => c -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    var legFolded = 0L
+    for (_ <- 0 until reps; c <- legCores) { // interleaved A/B/C, A/B/C, ...
+      val (t, f) = forkKernelLeg(c, scaleVertices, scaleEdges, legIters, "distributed")
+      samples(c) += t
+      legFolded = f
     }
-    def eff(lo: (Int, Double, Long), hi: (Int, Double, Long)): Double =
+    val legs = legCores.map(c => (c, median(samples(c).toSeq), samples(c).min, samples(c).max))
+    def eff(lo: (Int, Double, Double, Double), hi: (Int, Double, Double, Double)): Double =
       (lo._2 / hi._2) / (hi._1.toDouble / lo._1)
     val effPairs = legs.zip(legs.tail).map { case (lo, hi) =>
       f""""efficiency_${lo._1}%d_to_${hi._1}%d":${eff(lo, hi)}%.3f"""
     }
     val legJson = legs
-      .map { case (c, t, f) =>
-        f"""{"cores":$c,"superstep_sec":$t%.4f,"edges_per_sec":${f / t}%.0f}"""
+      .map { case (c, t, mn, mx) =>
+        f"""{"cores":$c,"superstep_sec":$t%.4f,"superstep_min":$mn%.4f,"superstep_max":$mx%.4f,""" +
+          f""""edges_per_sec":${legFolded / t}%.0f}"""
       }
       .mkString("[", ",", "]")
 
     val totalSec = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val kernelSpread =
+      f""""superstep_min":${kernelTimes.min}%.4f,"superstep_max":${kernelTimes.max}%.4f,"repeats":$reps"""
     println(
       f"""{"metric":"edges_per_sec_per_superstep","value":$edgesPerSec%.0f,"unit":"edges/sec",""" +
         f""""queries":$qs,"sf":"$sfDir","total_sec":$totalSec%.1f,""" +
         f""""kernel":{"cores":$cpus,"vertices":$benchVertices,"requested_edges":$benchEdges,""" +
-        f""""folded_edges":$foldedE,"superstep_sec":$tMain%.4f,"edges_per_sec_per_superstep":$edgesPerSec%.0f},""" +
-        s""""scaling":{"vertices":$scaleVertices,"requested_edges":$scaleEdges,"regime":"distributed","fresh_jvm_per_leg":true,""" +
+        f""""folded_edges":$foldedE,"superstep_sec":$tMain%.4f,$kernelSpread,""" +
+        f""""edges_per_sec_per_superstep":$edgesPerSec%.0f},""" +
+        s""""scaling":{"vertices":$scaleVertices,"requested_edges":$scaleEdges,"iters":$legIters,"repeats":$reps,""" +
+        s""""regime":"distributed","fresh_jvm_per_leg":true,"interleaved":true,""" +
         s""""legs":$legJson,${effPairs.mkString(",")}}}""")
   }
 }
