@@ -23,13 +23,20 @@ import graft.graph.LinkGraph
   * group are unaffected because the self-vote adds 0 to the sum). The
   * undirected edge table is hash-partitioned by `src` ONCE and cached with
   * that layout, so the per-superstep join reshuffles only the n-row label
-  * frame, never the 2|E|-row edge table. Lineage is pinned every few
-  * supersteps instead of every one (each pin is a full materialization).
+  * frame, never the 2|E|-row edge table (at contract sizes the planner
+  * broadcasts the label side and the edge cache never moves at all).
+  *
+  * `pinEvery = 1` (measured fastest, default): `labels` feeds each superstep
+  * TWICE — the neighbor join and the self-vote union — so an un-pinned plan
+  * tree DOUBLES per superstep (2^k leaves by superstep k; measured 4-superstep
+  * sf0.1 walls: pin-every-step 6.8 s, every-3rd 11.9 s, never 18.1 s).
+  * Pinning each superstep keeps the plan flat for the cost of one
+  * materialization that the next superstep needs anyway.
   */
 object LabelPropagation {
 
   /** Returns (vid, label) after `iterations` synchronous supersteps. */
-  def run(graph: LinkGraph, iterations: Int = 10, pinEvery: Int = 3): DataFrame = {
+  def run(graph: LinkGraph, iterations: Int = 10, pinEvery: Int = 1): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
 
