@@ -106,7 +106,7 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
   private def initialVector(): Dataset[RankChunk] = cfg.mode match {
     case PageRankMode.RiskPropagation =>
       // x starts at the normalized prior (pagerank.py:285, :292)
-      normalizedPriorChunks()
+      priorChunksPinned
     case _ =>
       graph.uniformChunks() // x = ones(n)/n (pagerank.py:180)
   }
@@ -147,6 +147,17 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     graph.chunksOf(prior.select($"vid", ($"value" / lit(total)).as("value")))
   }
 
+  /** Normalized prior, chunked and PINNED once — both consumers (the initial
+    * vector x₀ = r₀ and the teleport delta = (1−d)·r₀) read this one
+    * materialization; evaluating the (potentially expensive) prior plan and
+    * its chunking shuffle twice doubled the risk-mode setup cost.
+    */
+  @transient private lazy val priorChunksPinned: Dataset[RankChunk] = {
+    val (pinned, rdd) = pin(normalizedPriorChunks())
+    auxPins += rdd
+    pinned
+  }
+
   /** z = 1/n - (p/n)·[c != 0]  (original_pagerank/pagerank.py:130-134),
     * block-laid-out: partition b = block b's chunk.
     */
@@ -162,9 +173,11 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     r
   }
 
-  /** delta = (1-d) * normalizedPrior (pagerank.py:295), block-laid-out. */
+  /** delta = (1-d) * normalizedPrior (pagerank.py:295), block-laid-out —
+    * derived from the pinned prior chunks, not a second prior evaluation.
+    */
   private lazy val deltaRdd: RDD[RankChunk] = {
-    val ds = normalizedPriorChunks()
+    val ds = priorChunksPinned
       .map(c => RankChunk(c.blockId, c.loVid, c.values.map(_ * (1.0 - d))))
     val r = pinRdd(graph.toBlockLayout(ds))
     auxPins += r
