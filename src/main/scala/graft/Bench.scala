@@ -65,14 +65,7 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** One kernel leg in a FRESH JVM; returns (superstep_sec, folded_edges). */
-  private def forkKernelLeg(
-      cores: Int,
-      n: Long,
-      e: Long,
-      iters: Int,
-      regime: String
-  ): (Double, Long) = {
+  private def forkJvm(main: String, args: Seq[String], extraEnv: Seq[(String, String)]): String = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
@@ -81,12 +74,35 @@ object Bench {
       "-cp", System.getProperty("java.class.path"),
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
-      "graft.tools.KernelBench",
-      cores.toString, n.toString, e.toString, iters.toString, regime)
+      main) ++ args
     val out = new StringBuilder
-    val rc = Process(cmd).!(ProcessLogger(line => out.append(line).append('\n'), _ => ()))
-    require(rc == 0, s"kernel leg cores=$cores exited $rc")
-    val line = out.toString.linesIterator.filter(_.startsWith("{")).toSeq.last
+    val rc = Process(cmd, None, extraEnv: _*)
+      .!(ProcessLogger(line => out.append(line).append('\n'), _ => ()))
+    require(rc == 0, s"$main ${args.mkString(" ")} exited $rc")
+    out.toString.linesIterator.filter(_.startsWith("{")).toSeq.last
+  }
+
+  /** Fold the seed-pinned kernel input ONCE at full cores; legs read the
+    * parquet (identical bytes per leg, no single-threaded re-generation).
+    */
+  private def prepKernelInput(cores: Int, n: Long, e: Long, path: String): String = {
+    forkJvm("graft.tools.KernelPrep", Seq(cores.toString, n.toString, e.toString, path), Nil)
+    path
+  }
+
+  /** One kernel leg in a FRESH JVM; returns (superstep_sec, folded_edges). */
+  private def forkKernelLeg(
+      cores: Int,
+      n: Long,
+      e: Long,
+      iters: Int,
+      regime: String,
+      edgesPath: Option[String] = None
+  ): (Double, Long) = {
+    val line = forkJvm(
+      "graft.tools.KernelBench",
+      Seq(cores.toString, n.toString, e.toString, iters.toString, regime),
+      edgesPath.map("KB_EDGES_PATH" -> _).toSeq)
     def num(key: String): Double =
       s""""$key":([-+0-9.eE]+)""".r.findFirstMatchIn(line)
         .getOrElse(throw new IllegalStateException(s"no $key in: $line"))
@@ -150,8 +166,11 @@ object Bench {
     }
 
     // ---- phase 3: headline kernel throughput, fresh JVM per repeat ----
+    val benchEdgesPath =
+      prepKernelInput(cpus, benchVertices, benchEdges, "/tmp/graft-kernel-edges-bench")
     val (kernelRuns, kernelSec) = time {
-      (0 until reps).map(_ => forkKernelLeg(cpus, benchVertices, benchEdges, 12, "resident"))
+      (0 until reps).map(_ =>
+        forkKernelLeg(cpus, benchVertices, benchEdges, 12, "resident", Some(benchEdgesPath)))
     }
     results += "kernel_pagerank_12steps" -> kernelSec
     val foldedE = kernelRuns.head._2
@@ -172,8 +191,11 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       legCores.map(c => c -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
     var legFolded = 0L
+    val scaleEdgesPath =
+      prepKernelInput(cpus, scaleVertices, scaleEdges, "/tmp/graft-kernel-edges-scale")
     for (_ <- 0 until reps; c <- legCores) { // interleaved A/B/C, A/B/C, ...
-      val (t, f) = forkKernelLeg(c, scaleVertices, scaleEdges, legIters, "distributed")
+      val (t, f) =
+        forkKernelLeg(c, scaleVertices, scaleEdges, legIters, "distributed", Some(scaleEdgesPath))
       samples(c) += t
       legFolded = f
     }
