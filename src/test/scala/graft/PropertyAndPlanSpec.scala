@@ -110,4 +110,17 @@ class PropertyAndPlanSpec extends GraftSuite {
     // only the join keys + projected columns are read
     assert(!plan.contains("o_comment") && !plan.contains("l_quantity"))
   }
+
+  test("plans: LSH pair search is bucket-join shaped — no cartesian product") {
+    val rng = new scala.util.Random(41)
+    val vecs = (0L until 64L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val pairs = graft.sim.Ann.cosinePairsLsh(vecs, threshold = 0.8, dim = 16)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    val topk = graft.sim.Ann.lshTopK(
+      vecs, vecs.limit(3).select($"id".as("qid"), $"vec".as("qvec")), k = 2, dim = 16)
+    val planK = topk.queryExecution.executedPlan.toString
+    assert(!planK.contains("CartesianProduct"), planK.take(800))
+  }
 }
