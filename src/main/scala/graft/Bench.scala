@@ -25,12 +25,25 @@ import graft.sources.{RepoFiles, TestdataGraph}
   *      residue inverted the scaling signal; forking a process per leg is
   *      the fix.
   *
-  * Phases 3 and 4 run ≥3 REPEATS each, INTERLEAVED (A/B/C, A/B/C, …), and
-  * report the per-leg MEDIAN plus min/max spread in the JSON itself —
-  * round 2 recorded single runs and its 1-core leg landed 2× off the
-  * idle-box number, making the scaling efficiency physically implausible
-  * (1.98); medians over interleaved repeats make one noisy window visible
-  * instead of definitive.
+  * Phases 3 and 4 run repeats INTERLEAVED (A/B/C, A/B/C, …) and report the
+  * per-leg MEDIAN plus min/max spread in the JSON itself — round 2 recorded
+  * single runs and its 1-core leg landed 2× off the idle-box number, making
+  * the scaling efficiency physically implausible (1.98); medians over
+  * interleaved repeats make one noisy window visible instead of definitive.
+  *
+  * The schedule is DEADLINE-AWARE (round-3 lesson: the fixed 3-repeat
+  * schedule overran the driver's bench time budget and the official
+  * BENCH_r03.json died at rc 124 with no JSON at all). The first pass of
+  * every phase always runs; each FURTHER repeat launches only if its
+  * measured cost (from the previous pass of the same phase) still fits
+  * under SPARK_GRAFT_BENCH_BUDGET_SEC (default 1700 s — well under the
+  * driver budget that round 2's 2667 s run fit, leaving sbt-compile
+  * headroom). Defaults: 2 repeats (3 via SPARK_GRAFT_BENCH_REPS=3), and the
+  * full-core scaling leg is OFF (the N→4N evidence pair is 1→4 cores; the
+  * 32-core transparency leg only measures this single socket's DRAM ceiling
+  * — re-enable via SPARK_GRAFT_SCALE_FULL_LEG=1). A trimmed schedule is
+  * visible in the JSON (`budget_trimmed`, per-phase `repeats`), so a leaner
+  * run is never mistaken for a full one.
   */
 object Bench {
 
@@ -111,6 +124,15 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val startNanos = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1700").toDouble
+    // a further repeat launches only if its projected cost (measured previous
+    // pass × safety margin) still fits the budget — the JSON must ALWAYS
+    // print before any external timeout
+    var budgetTrimmed = false
+    def affordable(cost: Double): Boolean = elapsedSec + cost * 1.2 < budgetSec
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // headline kernel scale (full cores); scaling legs use a smaller graph so
@@ -158,47 +180,80 @@ object Bench {
     spark.stop()
     TestdataGraph.clearCache()
 
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val legIters = sys.env.getOrElse("SPARK_GRAFT_LEG_ITERS", "6").toInt
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
 
-    // ---- phase 3: headline kernel throughput, fresh JVM per repeat ----
-    val benchEdgesPath =
-      prepKernelInput(cpus, benchVertices, benchEdges, "/tmp/graft-kernel-edges-bench")
-    val (kernelRuns, kernelSec) = time {
-      (0 until reps).map(_ =>
-        forkKernelLeg(cpus, benchVertices, benchEdges, 12, "resident", Some(benchEdgesPath)))
-    }
-    results += "kernel_pagerank_12steps" -> kernelSec
-    val foldedE = kernelRuns.head._2
-    val kernelTimes = kernelRuns.map(_._1)
-    val tMain = median(kernelTimes)
-    val edgesPerSec = foldedE / tMain
-
-    // ---- phase 4: N vs 4N scaling legs, one fresh JVM each, same input ----
+    // ---- phase 3: N vs 4N scaling legs, one fresh JVM each, same input ----
+    // Runs BEFORE the headline kernel phase: the scaling pair is the north
+    // rule's actual criterion, so under a tight budget its interleaved
+    // repeats must win the budget race against the headline repeats.
     // Legs run the DISTRIBUTED regime — the regime that exists on a real
     // multi-executor cluster at 10^12 scale, and whose multi-second supersteps
     // average over this host's noise (the resident fast path's sub-0.3 s steps
     // are dominated by a fixed dispatch+broadcast+collect floor plus an O(n)
     // serial driver term — by design it is the single-node regime). 1 → 4
-    // cores is the N→4N pair; the full-core leg is reported for transparency
-    // (its 4→cpus efficiency hits this single socket's shuffle/DRAM ceiling —
-    // memory channels scale with NODES on a real cluster; see BASELINE.md).
-    val legCores = Seq(1, math.max(1, cpus / 8), cpus).distinct
+    // cores is the N→4N pair; the full-core transparency leg is OFF by
+    // default (its 4→cpus efficiency only measures this single socket's
+    // shuffle/DRAM ceiling — memory channels scale with NODES on a real
+    // cluster; see BASELINE.md) and re-enabled via SPARK_GRAFT_SCALE_FULL_LEG=1.
+    val fullLeg = sys.env.get("SPARK_GRAFT_SCALE_FULL_LEG").contains("1")
+    val legCores =
+      (Seq(1, math.max(1, cpus / 8)) ++ (if (fullLeg) Seq(cpus) else Nil)).distinct
     val samples = scala.collection.mutable.LinkedHashMap(
       legCores.map(c => c -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
     var legFolded = 0L
     val scaleEdgesPath =
       prepKernelInput(cpus, scaleVertices, scaleEdges, "/tmp/graft-kernel-edges-scale")
-    for (_ <- 0 until reps; c <- legCores) { // interleaved A/B/C, A/B/C, ...
-      val (t, f) =
-        forkKernelLeg(c, scaleVertices, scaleEdges, legIters, "distributed", Some(scaleEdgesPath))
-      samples(c) += t
-      legFolded = f
+    var scalePasses = 0
+    var lastPassWall = 0.0
+    while (scalePasses < reps && (scalePasses == 0 || affordable(lastPassWall))) {
+      val (_, passWall) = time { // interleaved A/B/C, A/B/C, ...
+        for (c <- legCores) {
+          val (t, f) =
+            forkKernelLeg(c, scaleVertices, scaleEdges, legIters, "distributed", Some(scaleEdgesPath))
+          samples(c) += t
+          legFolded = f
+        }
+      }
+      lastPassWall = passWall
+      scalePasses += 1
     }
+    if (scalePasses < reps) budgetTrimmed = true
+
+    // ---- phase 4: headline kernel throughput, fresh JVM per repeat ----
+    val benchEdgesPath =
+      prepKernelInput(cpus, benchVertices, benchEdges, "/tmp/graft-kernel-edges-bench")
+    val kernelRuns = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    val (_, kernelSec) = time {
+      var lastForkWall = 0.0
+      var r = 0
+      // adaptive tie-break: two repeats that disagree > 25% (this host shows
+      // heavy neighbor noise) get a THIRD so the median can reject the
+      // outlier instead of averaging it in — still budget-gated
+      def want: Int =
+        if (kernelRuns.length == 2 &&
+          kernelRuns.map(_._1).max / kernelRuns.map(_._1).min > 1.25) 3
+        else reps
+      while (r < want && (r == 0 || affordable(lastForkWall))) {
+        val (run, wall) = time(
+          forkKernelLeg(cpus, benchVertices, benchEdges, 12, "resident", Some(benchEdgesPath)))
+        kernelRuns += run
+        lastForkWall = wall
+        r += 1
+      }
+      if (r < reps) budgetTrimmed = true
+    }
+    val kernelReps = kernelRuns.length
+    results += "kernel_pagerank_12steps" -> kernelSec
+    val foldedE = kernelRuns.head._2
+    val kernelTimes = kernelRuns.map(_._1).toSeq
+    val tMain = median(kernelTimes)
+    val edgesPerSec = foldedE / tMain
+
     val legs = legCores.map(c => (c, median(samples(c).toSeq), samples(c).min, samples(c).max))
     def eff(lo: (Int, Double, Double, Double), hi: (Int, Double, Double, Double)): Double =
       (lo._2 / hi._2) / (hi._1.toDouble / lo._1)
@@ -215,15 +270,16 @@ object Bench {
     val totalSec = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val kernelSpread =
-      f""""superstep_min":${kernelTimes.min}%.4f,"superstep_max":${kernelTimes.max}%.4f,"repeats":$reps"""
+      f""""superstep_min":${kernelTimes.min}%.4f,"superstep_max":${kernelTimes.max}%.4f,"repeats":$kernelReps"""
     println(
       f"""{"metric":"edges_per_sec_per_superstep","value":$edgesPerSec%.0f,"unit":"edges/sec",""" +
         f""""queries":$qs,"sf":"$sfDir","total_sec":$totalSec%.1f,""" +
+        f""""budget_sec":$budgetSec%.0f,"budget_trimmed":$budgetTrimmed,"wall_sec":$elapsedSec%.1f,""" +
         f""""kernel":{"cores":$cpus,"vertices":$benchVertices,"requested_edges":$benchEdges,""" +
         f""""folded_edges":$foldedE,"superstep_sec":$tMain%.4f,$kernelSpread,""" +
         f""""edges_per_sec_per_superstep":$edgesPerSec%.0f},""" +
-        s""""scaling":{"vertices":$scaleVertices,"requested_edges":$scaleEdges,"iters":$legIters,"repeats":$reps,""" +
+        s""""scaling":{"vertices":$scaleVertices,"requested_edges":$scaleEdges,"iters":$legIters,"repeats":$scalePasses,""" +
         s""""regime":"distributed","fresh_jvm_per_leg":true,"interleaved":true,""" +
-        s""""legs":$legJson,${effPairs.mkString(",")}}}""")
+        s""""legs":$legJson${if (effPairs.isEmpty) "" else effPairs.mkString(",", ",", "")}}}""")
   }
 }

@@ -647,8 +647,61 @@ object OracleSql {
        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors Multimodal.syntheticMedia payload sizing: UTF-8 text bytes plus
+    * the planted real image-header prefix (PNG 24 B on image rows with
+    * id ≡ 0 mod 7, GIF 10 B on id ≡ 1 mod 7).
+    */
   val mediaMeta: String =
-    """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    """SELECT doc_id AS media_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT)
+      |         + CASE WHEN doc_id % 3 = 0 AND doc_id % 7 = 0 THEN 24
+      |                WHEN doc_id % 3 = 0 AND doc_id % 7 = 1 THEN 10
+      |                ELSE 0 END AS byte_len
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Full value oracle for the multimodal decode pipeline: header-planted
+    * image rows reproduce the planted dimensions (1 + id mod 640/480 —
+    * Multimodal.syntheticMedia), every other row reproduces FakeDecoder's
+    * portable rolling hash h = fold (acc·31 + byte) mod 1e9+7 over the
+    * payload — equal to the character-ord fold because the synthetic text is
+    * pure ASCII (hash-relevant rows carry no header bytes).
+    */
+  val mediaFeatures: String =
+    """WITH m AS MATERIALIZED (
+      |  SELECT doc_id AS media_id,
+      |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |         doc_id % 7 AS r, text,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS text_len
+      |  FROM documents
+      |),
+      |h AS MATERIALIZED (
+      |  SELECT media_id, media_type, r, text_len,
+      |         list_reduce(
+      |           list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(generate_series(1, length(text)),
+      |                            i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+      |           (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+      |  FROM m
+      |)
+      |SELECT media_id, media_type,
+      |       text_len + CASE WHEN media_type = 'image' AND r = 0 THEN 24
+      |                       WHEN media_type = 'image' AND r = 1 THEN 10
+      |                       ELSE 0 END AS byte_len,
+      |       CASE WHEN media_type = 'image' AND r IN (0, 1) THEN 1 + media_id % 640
+      |            ELSE 64 + hv % 512 END AS width,
+      |       CASE WHEN media_type = 'image' AND r IN (0, 1) THEN 1 + media_id % 480
+      |            ELSE 64 + (hv // 512) % 512 END AS height,
+      |       CASE WHEN media_type = 'video' THEN 1 + (hv // 262144) % 120
+      |            ELSE CAST(1 AS BIGINT) END AS n_frames
+      |FROM h ORDER BY media_id""".stripMargin
+
+  /** q_ann_lsh_check computes the LSH top-k output's invariant-violation
+    * counts Spark-side (the candidate set is seed-dependent, the invariants
+    * are not); all must be zero, so the oracle is the constant zero row.
+    */
+  val annLshCheck: String =
+    """SELECT CAST(0 AS BIGINT) AS over_k, CAST(0 AS BIGINT) AS bad_cosine,
+      |       CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS dup_pairs,
+      |       CAST(0 AS BIGINT) AS self_pairs""".stripMargin
 
 }

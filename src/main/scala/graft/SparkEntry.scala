@@ -354,6 +354,37 @@ object SparkEntry {
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
       Ann.lshTopK(corpus, queries, k = 5, dim = 64).orderBy($"query_id", $"rank")
     },
+    // the candidate SET is seed-dependent (not SQL-expressible), but the
+    // output INVARIANTS are not: ≤ k rows per query, cosine equal to the
+    // value independently recomputed from the embeddings table, rank dense
+    // from 1 and consistent with cosine desc, no duplicate or self pairs.
+    // All violation counts must be zero — the oracle is that constant row.
+    "q_ann_lsh_check" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val corpus = emb(s, dir).select($"vec_id".as("id"), $"embedding".as("vec"))
+      val queries = emb(s, dir).filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val out = Ann.lshTopK(corpus, queries, k = 5, dim = 64)
+      val w = Window.partitionBy($"query_id").orderBy($"rank")
+      out
+        .join(corpus.select($"id".as("neighbor_id"), $"vec"), Seq("neighbor_id"))
+        .join(queries.select($"qid".as("query_id"), $"qvec"), Seq("query_id"))
+        .select($"query_id", $"neighbor_id", $"cosine", $"rank",
+          Ann.cosine($"vec", $"qvec").as("recos"))
+        .withColumn("prev_cos", lag($"cosine", 1).over(w))
+        .withColumn("prev_rank", lag($"rank", 1).over(w))
+        .agg(
+          count(when($"rank" > 5, 1)).as("over_k"),
+          count(when(abs($"cosine" - $"recos") > 1e-9, 1)).as("bad_cosine"),
+          count(when(
+            ($"prev_rank".isNull && $"rank" =!= 1) ||
+              ($"prev_rank".isNotNull &&
+                ($"rank" =!= $"prev_rank" + 1 || $"prev_cos" < $"cosine" - 1e-12)), 1))
+            .as("bad_rank"),
+          (count(lit(1)) - countDistinct($"query_id", $"neighbor_id")).as("dup_pairs"),
+          count(when($"query_id" === $"neighbor_id", 1)).as("self_pairs"))
+    },
     // ---- multimodal plumbing ----
     "q_media_meta" -> { (s, dir) =>
       import s.implicits._
@@ -362,11 +393,16 @@ object SparkEntry {
         .select($"media_id", $"byte_len")
         .orderBy($"media_id")
     },
-    "q_media_features" -> { (s, dir) => // fake-decoder features: rows-only
+    // full value oracle: planted real PNG/GIF headers decode via HeaderDecoder,
+    // everything else via the portable-rolling-hash stub — both DuckDB-mirrored
+    "q_media_features" -> { (s, dir) =>
       import s.implicits._
       val media = Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text")
       Multimodal.decodeFeatures(media).toDF()
-        .select($"media_id", $"media_type", $"byte_len", $"width", $"height", $"n_frames")
+        .select($"media_id", $"media_type", $"byte_len",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"n_frames".cast("long").as("n_frames"))
         .orderBy($"media_id")
     }
   )
@@ -410,6 +446,8 @@ object SparkEntry {
     "q_fingerprint" -> OracleSql.fingerprint,
     "q_embedding_pairs" -> OracleSql.embeddingPairs(0.4),
     "q_knn_brute" -> OracleSql.knnBrute(5, 10),
-    "q_media_meta" -> OracleSql.mediaMeta
+    "q_media_meta" -> OracleSql.mediaMeta,
+    "q_media_features" -> OracleSql.mediaFeatures,
+    "q_ann_lsh_check" -> OracleSql.annLshCheck
   )
 }

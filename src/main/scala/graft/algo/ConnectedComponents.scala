@@ -22,7 +22,11 @@ import graft.graph.{LinkGraph, Lineage}
   * Both steps are groupBy(min) + equi-join — no neighbor lists are ever
   * collected, so hub vertices cost rows, not memory. Convergence is decided
   * by a DEFINITIVE fixpoint test against the ORIGINAL edges (one join +
-  * count per round): candidate labels l(x) = min(x, Γ(x)) are constant
+  * count per round; skipped on round 0, where real graphs are never already
+  * contracted and an extra contraction is a fixpoint no-op anyway — and the
+  * candidate-label aggregation it needs is the SAME groupBy-min large-star
+  * needs, so one pinned frame serves both): candidate labels
+  * l(x) = min(x, Γ(x)) are constant
   * across every original edge iff every component has fully contracted and
   * l is exactly the component minimum (l(m) = m for the component min m
   * because current edges only ever connect vertices of one component).
@@ -50,39 +54,41 @@ object ConnectedComponents {
     var iteration = 0
 
     while (iteration < maxIterations && !converged) {
-      // candidate labels from the current edge set: l(x) = min(x, Γ(x))
-      val nbrMin = cur
-        .select($"u".as("x"), $"v".as("l"))
-        .union(cur.select($"v".as("x"), $"u".as("l")))
-        .groupBy($"x")
-        .agg(min($"l").as("lmin"))
+      // candidate labels from the current edge set: l(x) = min(x, Γ(x)) —
+      // ONE pinned aggregation serves BOTH the fixpoint check and large-star
+      // (they are the same groupBy-min; round 3 computed it twice per round)
+      val bidir = cur.select($"u", $"v").union(cur.select($"v".as("u"), $"u".as("v")))
+      val nbrMin = bidir
+        .groupBy($"u".as("x"))
+        .agg(min($"v").as("lmin"))
         .select($"x", least($"x", $"lmin").as("l"))
       val (lab, freeLab) = Lineage.pin(nbrMin)
 
       // definitive check: labels constant across every ORIGINAL edge
       // (left joins + coalesce so a vertex absent from the current edge set
-      // can never silently pass the test)
-      val bad = orig
-        .join(lab.select($"x".as("u"), $"l".as("lu")), Seq("u"), "left")
-        .join(lab.select($"x".as("v"), $"l".as("lv")), Seq("v"), "left")
-        .filter(coalesce($"lu", $"u") =!= coalesce($"lv", $"v"))
-        .count()
+      // can never silently pass the test). Cadence: skipped on the first
+      // round — contraction from an already-converged state is a fixpoint
+      // (star edges stay star edges), so the only cost is one extra cheap
+      // round on trivial inputs, and every multi-round graph saves a full
+      // original-edge join. maxIterations == 1 keeps the round-0 check so a
+      // converged input can still be certified inside the budget.
+      val bad =
+        if (iteration == 0 && maxIterations > 1) -1L
+        else orig
+          .join(lab.select($"x".as("u"), $"l".as("lu")), Seq("u"), "left")
+          .join(lab.select($"x".as("v"), $"l".as("lv")), Seq("v"), "left")
+          .filter(coalesce($"lu", $"u") =!= coalesce($"lv", $"v"))
+          .count()
 
       if (bad == 0L) {
         converged = true
         freeLabels = freeLab
         labels = lab
       } else {
-        freeLab()
-        // ---- large-star ----
-        val bidir = cur.select($"u", $"v").union(cur.select($"v".as("u"), $"u".as("v")))
-        val mins = bidir
-          .groupBy($"u")
-          .agg(min($"v").as("mv"))
-          .select($"u", least($"u", $"mv").as("m"))
+        // ---- large-star (reuses the pinned candidate-label aggregation) ----
         val large = bidir
           .filter($"v" > $"u")
-          .join(mins, Seq("u"))
+          .join(lab.select($"x".as("u"), $"l".as("m")), Seq("u"))
           .select($"v".as("u"), $"m".as("v"))
           .distinct()
         // ---- small-star ----
@@ -96,6 +102,7 @@ object ConnectedComponents {
           .union(mins2.select($"u", $"m".as("v")))
           .distinct()
         val (next, freeNext) = Lineage.pin(small)
+        freeLab() // candidate labels are consumed once `next` is materialized
         freeCur()
         cur = next
         freeCur = freeNext

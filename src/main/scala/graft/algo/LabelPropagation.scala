@@ -18,9 +18,16 @@ import graft.graph.LinkGraph
   * Superstep shape (round-2 bench regression fix): the weighted mode is a
   * `max(struct(weight, −label))` aggregation — no per-vid `row_number` window
   * (which added a full sort per superstep) — and each vertex also casts a
-  * weight-0 self-vote, which removes the keep-old-label left join entirely
-  * (any real neighbor vote has weight ≥ 1 and beats it; ties inside a label
-  * group are unaffected because the self-vote adds 0 to the sum). The
+  * weight-0 self-vote, which removes the keep-old-label left join entirely.
+  * PRECONDITION of that self-vote: every surviving neighbor vote must carry
+  * strictly positive weight, or a zero-weight neighbor group would tie the
+  * self-vote at w=0 and the min-label tie-break could flip a vertex that the
+  * keep-old-only-when-isolated semantics would have kept. Edge-fold weights
+  * (duplicate multiplicities) are always ≥ 1, but `fromDenseWeighted` graphs
+  * can carry zero or negative weights — so the undirected fold below drops
+  * aggregate weights ≤ 0, treating such edges as absent (ties inside a
+  * positive-weight label group are unaffected because the self-vote adds 0
+  * to the sum). The
   * undirected edge table is hash-partitioned by `src` ONCE and cached with
   * that layout, so the per-superstep join reshuffles only the n-row label
   * frame, never the 2|E|-row edge table (at contract sizes the planner
@@ -46,6 +53,7 @@ object LabelPropagation {
       .union(graph.edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
       .groupBy($"src", $"dst")
       .agg(sum($"weight").as("weight"))
+      .filter($"weight" > 0) // self-vote precondition: votes must outweigh w=0
       .repartition(p, $"src") // join-key layout, reused by every superstep
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()

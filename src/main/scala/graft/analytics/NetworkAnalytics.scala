@@ -302,8 +302,10 @@ object NetworkAnalytics {
     val hubThr = { val d = ValueDist.of(joined, "outDeg", knownN = n); val t = d.percentile(0.9); d.release(); t }
     val authThr = { val d = ValueDist.of(joined, "inDeg", knownN = n); val t = d.percentile(0.9); d.release(); t }
     val centThr = { val d = ValueDist.of(joined, "score", knownN = n); val t = d.percentile(0.9); d.release(); t }
-    joined.unpersist(false)
-    joined
+    // pin the (≤ 3n/10-row) result BEFORE dropping the scratch cache — round 3
+    // unpersisted first, so every later consumption re-ran the degree⋈ranks
+    // join; the pin is reclaimed by the ContextCleaner when unreferenced
+    val result = joined
       .select(
         $"vid", $"score".as("centrality_score"),
         $"outDeg".as("referrals_out"), $"inDeg".as("referrals_in"),
@@ -311,7 +313,9 @@ object NetworkAnalytics {
         ($"inDeg" > lit(authThr)).as("is_authority"),
         ($"score" > lit(centThr)).as("is_central"))
       .filter($"is_hub" || $"is_authority" || $"is_central")
-      .orderBy($"vid")
+    val (pinned, _) = graft.graph.Lineage.pin(result)
+    joined.unpersist(false)
+    pinned.orderBy($"vid")
   }
 
   /** Band (quantile-trim) filter: keep rows with value inside the

@@ -118,16 +118,29 @@ final class ValueDist private (
 
 object ValueDist {
 
-  /** Row-count ceiling for the driver-local regime: distinct (double, long)
-    * pairs ≤ n, so the collect is ≤ ~64 MB against the 32 GB bench driver.
+  /** Row-count ceiling for the driver-local regime; between
+    * [[MaxLocalDistinct]] and this bound the regime is additionally gated on
+    * the estimated DISTINCT count — row count alone says nothing about how
+    * many (double, long) pairs the collect materializes.
     */
   val SmallN: Long = 4L * 1024 * 1024
 
-  /** Build the distribution of `valueCol` (cast to double).
+  /** Distinct-pair ceiling for the driver-local collect: ≤ ~16 MB of
+    * primitive (double, long) pairs plus transient tuple boxing. Decided from
+    * the exact n when n ≤ MaxLocalDistinct (distinct ≤ n needs no probe);
+    * otherwise a cheap approx_count_distinct job decides, so a 4M-row column
+    * of unique doubles falls to the distributed regime instead of collecting
+    * hundreds of MB onto a smaller-heap driver (round-3 hardening).
+    */
+  val MaxLocalDistinct: Long = 1L * 1024 * 1024
+
+  /** Build the distribution of `valueCol` (cast to double). Nulls are dropped
+    * (probes describe the non-null values, NumPy-dropna-style).
     *
-    * @param knownN  row count if the caller already knows it (e.g. a zero-filled
-    *                per-vertex table has exactly numVertices rows) — skips the
-    *                count job.
+    * @param knownN  NON-NULL row count if the caller already knows it (e.g. a
+    *                zero-filled per-vertex table has exactly numVertices
+    *                non-null rows) — skips the count job; the local regime's
+    *                `require(acc == n)` trips loudly on a wrong value.
     * @param forceDistributed  test hook: exercise the distributed regime at any n.
     */
   def of(
@@ -137,14 +150,18 @@ object ValueDist {
       forceDistributed: Boolean = false
   ): ValueDist = {
     val spark = df.sparkSession
-    val n = knownN.getOrElse(df.count())
-    if (n <= SmallN && !forceDistributed) {
-      val pairs = df
-        .select(col(valueCol).cast("double").as("__v"))
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("double").as("__v")).filter(col("__v").isNotNull)
+    val n = knownN.getOrElse(vals.count())
+    val localOk = n <= SmallN && !forceDistributed &&
+      (n <= MaxLocalDistinct ||
+        vals.agg(approx_count_distinct(col("__v"))).first().getLong(0) <= MaxLocalDistinct)
+    if (localOk) {
+      val pairs = vals
         .groupBy(col("__v"))
         .agg(count(lit(1)).as("__c"))
+        .as[(Double, Long)] // primitive-friendly collect: tuples, not boxed Rows
         .collect()
-        .map(r => (r.getDouble(0), r.getLong(1)))
         .sortBy(_._1)
       val vs = pairs.map(_._1)
       val cum = new Array[Long](pairs.length)
@@ -154,7 +171,7 @@ object ValueDist {
       require(acc == n, s"distinct-count sum $acc != expected n $n for $valueCol")
       new ValueDist(n, spark, Some((vs, cum)), None)
     } else {
-      val (cumFrame, total, release) = NetworkAnalytics.cumulativeCounts(df, valueCol)
+      val (cumFrame, total, release) = NetworkAnalytics.cumulativeCounts(vals, "__v")
       new ValueDist(total, spark, None, Some((cumFrame, release)))
     }
   }

@@ -399,6 +399,10 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
       * concurrentTasks × budget, at the cost of a slightly larger shuffle in
       * exactly the (rare) tasks that overflow.
       */
+    // observability for the budget-flush path: counts mid-block drains so a
+    // probe run can prove the bounded-scratch code actually fired
+    val accFlush = sc.longAccumulator("graft.slabFlushes")
+
     def contribsOf(x: RDD[RankChunk]): RDD[(Int, BlockContrib)] =
       adj.zipPartitions(x) { (adjIt, xIt) =>
         if (!xIt.hasNext) Iterator.empty
@@ -472,7 +476,7 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
                 if (pending.hasNext) nextElem = pending.next()
                 else if (adjIt.hasNext) {
                   processPart(adjIt.next()._2)
-                  if (allocBytes > budget) pending = drain()
+                  if (allocBytes > budget) { accFlush.add(1); pending = drain() }
                 } else if (anySlab) pending = drain()
                 else return
               }
@@ -625,6 +629,10 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
         out
       case _ => xRdd
     }
+    if (accFlush.value > 0)
+      System.err.println(
+        s"[graft] slab budget flushes: ${accFlush.value} mid-block drains " +
+          s"(budget ${PageRankEngine.SlabBudgetBytes} B) across $iteration supersteps")
     PageRankOutcome(
       spark.createDataset(finalRdd),
       PageRankRun(iteration, converged, error, (System.nanoTime() - t0) / 1e9, n, graph.numEdges),

@@ -349,7 +349,13 @@ object LinkGraph {
     }
   }
 
-  /** Same, but edges are already (src, dst, weight) in dense vid space 0..n-1. */
+  /** Same, but edges are already (src, dst, weight) in dense vid space 0..n-1.
+    * Edges with weight ≤ 0 are dropped — "no edge" is this engine's semantic
+    * for them everywhere (the column-normalized adjacency would divide by a
+    * zero column sum, and LPA's weight-0 self-vote requires every surviving
+    * neighbor vote to be strictly positive). fromEdgeList weights are fold
+    * multiplicities ≥ 1, so only this entry point can see them.
+    */
   def fromDenseWeighted(
       spark: SparkSession,
       edges: Dataset[Edge],
@@ -364,7 +370,8 @@ object LinkGraph {
         1,
         math.min(spark.sparkContext.defaultParallelism * 2, math.max(1L, numVertices / 1024L).toInt))
     val bs = (numVertices + blocks - 1) / math.max(blocks, 1)
-    new LinkGraph(spark, dict, edges.persist(StorageLevel.MEMORY_AND_DISK), numVertices, blocks, math.max(bs, 1))
+    val positive = edges.filter(col("weight") > 0).as[Edge] // column filter: stays codegen'd
+    new LinkGraph(spark, dict, positive.persist(StorageLevel.MEMORY_AND_DISK), numVertices, blocks, math.max(bs, 1))
   }
 
   /** Deterministic compacted vertex dictionary: dense vids 0..n-1 in ascending

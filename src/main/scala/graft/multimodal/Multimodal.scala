@@ -34,15 +34,53 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = false)))
 
   /** Synthesize a deterministic media table from the documents table: payload
-    * = UTF-8 bytes of the text (an opaque stand-in), type from a stable hash.
+    * = UTF-8 bytes of the text (an opaque stand-in) with media_type keyed by
+    * id mod 3, PLUS real image-header bytes planted on a deterministic subset
+    * of the image rows (id ≡ 0 mod 7 → PNG signature+IHDR prefix, id ≡ 1
+    * mod 7 → GIF87a logical-screen prefix; width = 1 + id mod 640, height =
+    * 1 + id mod 480) so the contract query exercises [[HeaderDecoder]] on
+    * genuine header bytes. Every rule here is integer-portable and mirrored
+    * bit-for-bit by the DuckDB oracle (OracleSql.mediaFeatures) — round 3's
+    * xxhash64 type assignment had no DuckDB twin and kept q_media_features
+    * rows-only.
     */
-  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).cast("long").as("media_id"),
-      element_at(
-        array(lit("image"), lit("audio"), lit("video")),
-        (pmod(xxhash64(col(idCol)), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col(textCol), "UTF-8").as("payload"))
+  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val mt = math.floorMod(id, 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 1 + math.floorMod(id, 640).toInt
+        val h = 1 + math.floorMod(id, 480).toInt
+        val payload =
+          if (mt == "image" && math.floorMod(id, 7) == 0) pngHeader(w, h) ++ body
+          else if (mt == "image" && math.floorMod(id, 7) == 1) gifHeader(w, h) ++ body
+          else body
+        MediaRow(id, mt, payload)
+      }
+      .toDF()
+  }
+
+  /** Real PNG signature + IHDR prefix (the 24 bytes [[HeaderDecoder.png]]
+    * parses: 8-byte signature, chunk length 13, "IHDR", width/height BE32).
+    */
+  private[multimodal] def pngHeader(w: Int, h: Int): Array[Byte] =
+    (Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13,
+      'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt,
+      w >>> 24, (w >>> 16) & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      h >>> 24, (h >>> 16) & 0xff, (h >>> 8) & 0xff, h & 0xff)).map(_.toByte).toArray
+
+  /** Real GIF87a header prefix (6-byte signature + width/height LE16). */
+  private[multimodal] def gifHeader(w: Int, h: Int): Array[Byte] =
+    (Seq('G'.toInt, 'I'.toInt, 'F'.toInt, '8'.toInt, '7'.toInt, 'a'.toInt,
+      w & 0xff, (w >>> 8) & 0xff, h & 0xff, (h >>> 8) & 0xff)).map(_.toByte).toArray
 
   /** Real pure-JVM image HEADER parsing — PNG IHDR, JPEG SOF, GIF logical
     * screen descriptor — no codec libraries required. Full pixel decode /
@@ -122,18 +160,26 @@ object Multimodal {
   /** STUB decoder — deterministic pseudo-decode standing in for a real
     * image/audio decoder (libs absent in this sandbox). Replace this function
     * to integrate a real one; the pipeline around it is unchanged.
+    *
+    * The pseudo-features derive from the PORTABLE polynomial rolling hash
+    * over the payload bytes — fold of (acc·31 + byte) mod 1e9+7, the same
+    * math as [[graft.text.TextAnalytics.fingerprint]] — so for ASCII payloads
+    * the DuckDB oracle reproduces every emitted value exactly (the round-3
+    * Java 31-hash had no SQL twin, which kept q_media_features rows-only).
     */
   object FakeDecoder {
+    final val Mod = 1000000007L
+
     def decode(row: MediaRow): MediaFeatures = {
       val len = row.payload.length
-      var h = 1125899906842597L
+      var h = 0L
       var i = 0
-      while (i < len) { h = 31 * h + row.payload(i); i += 1 }
-      val width = 64 + math.floorMod(h, 512).toInt
-      val height = 64 + math.floorMod(h >> 9, 512).toInt
-      val frames = if (row.media_type == "video") 1 + math.floorMod(h >> 18, 120).toInt else 1
-      // 8-dim deterministic "embedding" of the payload
-      val feat = Array.tabulate(8)(d => math.floorMod(h >> (d * 7), 1000).toFloat / 1000f)
+      while (i < len) { h = (h * 31 + (row.payload(i) & 0xff)) % Mod; i += 1 }
+      val width = 64 + (h % 512).toInt
+      val height = 64 + ((h / 512) % 512).toInt
+      val frames = if (row.media_type == "video") 1 + ((h / 262144) % 120).toInt else 1
+      // 8-dim deterministic "embedding" of the payload (h < 2^30: shifts safe)
+      val feat = Array.tabulate(8)(d => ((h >> (d * 3)) % 1000).toFloat / 1000f)
       MediaFeatures(row.media_id, row.media_type, len.toLong, width, height, frames, feat)
     }
   }

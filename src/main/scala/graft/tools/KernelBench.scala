@@ -32,6 +32,11 @@ object KernelBench {
     val iters = if (args.length > 3) args(3).toInt else 12
     val regime = if (args.length > 4) args(4) else "resident"
     if (regime == "distributed") graft.engine.PageRankEngine.BroadcastThresholdBytes = 0L
+    // probe hook: tighten the per-task slab budget so a run can prove the
+    // mid-block flush path fires (and stays correct/fast) at a chosen scale
+    sys.env.get("KB_SLAB_BUDGET").foreach { b =>
+      graft.engine.PageRankEngine.SlabBudgetBytes = b.toLong
+    }
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -72,9 +77,15 @@ object KernelBench {
     val med = times(times.size / 2) / 1000.0
     out.free()
     g.unpersistAll()
+    // peak heap across all heap pools — evidence that the distributed
+    // regime's slab budget actually bounds executor memory at probe scale
+    val peakHeapMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+      .stream().filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .mapToLong(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+      .sum() / (1024 * 1024)
     println(
       f"""{"cores":$cores,"vertices":$n,"requested_edges":$e,"folded_edges":$folded,""" +
-        f""""superstep_sec":$med%.4f,"edges_per_sec":${folded / med}%.0f}""")
+        f""""superstep_sec":$med%.4f,"edges_per_sec":${folded / med}%.0f,"peak_heap_mb":$peakHeapMb}""")
     spark.stop()
   }
 }

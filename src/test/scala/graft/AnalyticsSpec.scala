@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.analytics.NetworkAnalytics
+import graft.analytics.{NetworkAnalytics, ValueDist}
 import graft.graph.LinkGraph
 
 class AnalyticsSpec extends GraftSuite {
@@ -171,6 +171,35 @@ class AnalyticsSpec extends GraftSuite {
     assert((ids -- before).nonEmpty, "distributed regime should cache while alive")
     dist.release()
     assert((ids -- before).isEmpty, "release() must unpersist the cumulative frame")
+  }
+
+  test("ValueDist: wide-distinct column falls to the distributed regime, not a huge collect") {
+    // 2M rows of UNIQUE doubles: n <= SmallN (row count alone would pick the
+    // driver-local collect) but distinct pairs are far over MaxLocalDistinct —
+    // the approx-distinct gate must route this to the distributed regime
+    val n = 2L * 1024 * 1024
+    val wide = spark.range(n).selectExpr("cast(id as double) as v")
+    val d = ValueDist.of(wide, "v", knownN = Some(n))
+    assert(!d.isLocal, "unique-double column must not be collected driver-locally")
+    val Seq(p50) = d.percentiles(Seq(0.5))
+    assert(math.abs(p50 - (n - 1) / 2.0) < 1e-9)
+    d.release()
+    // and a narrow column of the same row count stays driver-local (zero residue)
+    val narrow = spark.range(n).selectExpr("cast(id % 97 as double) as v")
+    val dn = ValueDist.of(narrow, "v", knownN = Some(n))
+    assert(dn.isLocal)
+    dn.release()
+  }
+
+  test("ValueDist: nulls are dropped in both regimes (NumPy-dropna semantics)") {
+    val df = Seq[java.lang.Double](1.0, null, 3.0, null, 5.0).toDF("v")
+    val d = ValueDist.of(df, "v")
+    assert(d.n == 3)
+    assert(math.abs(d.percentile(0.5) - 3.0) < 1e-12)
+    val dd = ValueDist.of(df, "v", forceDistributed = true)
+    assert(dd.n == 3)
+    assert(math.abs(dd.percentile(0.5) - 3.0) < 1e-12)
+    dd.release()
   }
 
   test("network metrics mirror hand-computed values on a tiny graph") {

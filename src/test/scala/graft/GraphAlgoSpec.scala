@@ -149,6 +149,24 @@ class GraphAlgoSpec extends GraftSuite {
     g.unpersistAll()
   }
 
+  test("LPA: zero-weight edges are absent — they cannot tie the w=0 self-vote") {
+    // triangle 0-1-2 = stable community (label 0 by round 2); 3's ONLY edge
+    // has weight 0 (fromDenseWeighted can carry such weights) — 3 must keep
+    // its own label, not adopt 0 via the min-label tie-break against a
+    // zero-weight neighbor vote tying the w=0 self-vote
+    import graft.model.Edge
+    val g = LinkGraph.fromDenseWeighted(
+      spark,
+      Seq(Edge(0L, 1L, 1.0), Edge(1L, 2L, 1.0), Edge(2L, 0L, 1.0), Edge(0L, 3L, 0.0)).toDS(),
+      numVertices = 4L,
+      numBlocks = 2)
+    val labels = LabelPropagation.run(g, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(0L) == 0L && labels(1L) == 0L && labels(2L) == 0L)
+    assert(labels(3L) == 3L, s"zero-weight neighbor must not relabel an isolated vertex: $labels")
+    g.unpersistAll()
+  }
+
   test("LPA is deterministic: same labels on repeated runs") {
     val edges = DenseReference.randomEdges(40, 0.1, seed = 11).map(e => (e._1.toLong, e._2.toLong))
     val g = graphOf(edges)

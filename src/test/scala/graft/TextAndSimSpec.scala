@@ -270,4 +270,26 @@ class TextAndSimSpec extends GraftSuite {
       assert(ids.length <= 5 && ids.zip(ids.drop(1)).forall { case (a, b) => b - a == 10 })
     }
   }
+
+  test("syntheticMedia plants real headers; stub features follow the portable hash") {
+    // id 21: image (21%3=0) + PNG header (21%7=0); id 15: image + GIF (15%7=1);
+    // id 3: image, no header (3%7=3); ids 1/2: audio/video
+    val d = Seq((21L, "png doc"), (15L, "gif doc"), (3L, "plain image"),
+      (1L, "audio doc"), (2L, "video doc")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(d, "doc_id", "text")
+    val f = Multimodal.decodeFeatures(media).collect().map(x => x.media_id -> x).toMap
+    // header rows: REAL header parsing yields the planted 1 + id mod 640/480 dims
+    assert(f(21L).media_type == "image" && f(21L).width == 22 && f(21L).height == 22)
+    assert(f(21L).byte_len == "png doc".length + 24L)
+    assert(f(15L).width == 16 && f(15L).height == 16)
+    assert(f(15L).byte_len == "gif doc".length + 10L)
+    // non-header rows: portable rolling hash (same math the DuckDB oracle runs)
+    def rh(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val h3 = rh("plain image")
+    assert(f(3L).width == 64 + (h3 % 512).toInt && f(3L).height == 64 + ((h3 / 512) % 512).toInt)
+    val h2 = rh("video doc")
+    assert(f(2L).media_type == "video" && f(2L).n_frames == 1 + ((h2 / 262144) % 120).toInt)
+    assert(f(1L).media_type == "audio" && f(1L).n_frames == 1)
+  }
 }
