@@ -704,4 +704,41 @@ object OracleSql {
       |       CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS dup_pairs,
       |       CAST(0 AS BIGINT) AS self_pairs""".stripMargin
 
+  /** The prefix study's SQL-expressible slice: per-prefix subgraph shape
+    * (nodes = min(k, n) slots; edges = folded pairs whose BOTH endpoints
+    * rank ≤ prefix in sorted-extId order — the dictionary's vid assignment)
+    * and the solver roster with the dense-direct n ≤ 2000 gate.
+    */
+  def prefixCheck(sizes: Seq[Long], directSolveMax: Long): String = {
+    val vals = sizes.map(k => s"(CAST($k AS BIGINT))").mkString(", ")
+    s"""WITH $prelude,
+       |nverts AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+       |rv AS MATERIALIZED (SELECT id, row_number() OVER (ORDER BY id) AS rk FROM verts),
+       |ks AS MATERIALIZED (
+       |  SELECT DISTINCT least(k, (SELECT n FROM nverts)) AS prefix
+       |  FROM (VALUES $vals) t(k)
+       |),
+       |shape AS MATERIALIZED (
+       |  SELECT ks.prefix, ks.prefix AS nodes,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM e
+       |          JOIN rv a ON a.id = e.src JOIN rv b ON b.id = e.dst
+       |          WHERE a.rk <= ks.prefix AND b.rk <= ks.prefix) AS edges
+       |  FROM ks
+       |)
+       |SELECT prefix, nodes, edges, s.solver
+       |FROM shape, (VALUES ('pr2_dangling'), ('pr3_renorm')) s(solver)
+       |UNION ALL
+       |SELECT prefix, nodes, edges, 'pr1_direct' FROM shape WHERE nodes <= $directSolveMax
+       |ORDER BY prefix, solver""".stripMargin
+  }
+
+  /** q_sweep_check computes the convergence sweep's invariant-violation
+    * counts Spark-side (iteration counts per tolerance are not
+    * SQL-expressible; their invariants are); all must be zero.
+    */
+  def sweepCheck(numTolerances: Int): String =
+    s"""SELECT CAST($numTolerances AS BIGINT) AS n_rows,
+       |       CAST(0 AS BIGINT) AS bad_monotone, CAST(0 AS BIGINT) AS bad_positive,
+       |       CAST(0 AS BIGINT) AS bad_converged, CAST(0 AS BIGINT) AS bad_residual""".stripMargin
+
 }

@@ -246,6 +246,18 @@ object SparkEntry {
         .map(r => (r.prefix, r.nodes, r.edges, r.solver, r.iterations, r.converged))
         .toDF("prefix", "nodes", "edges", "solver", "iterations", "converged")
     },
+    // the study's SQL-expressible slice IS oracle-checkable: per-prefix
+    // subgraph shape (nodes = prefix slots, edges = folded edges inside the
+    // first-k-sorted-extIds block) and the solver roster incl. the
+    // directSolveMax gate — derived from the REAL PrefixStudy run so a
+    // divergence in its size logic fails the hash
+    "q_prefix_check" -> { (s, dir) =>
+      import s.implicits._
+      PrefixStudy.run(g(s, dir), Seq(100L, 1000L, Long.MaxValue), tolerance = 1e-8)
+        .map(r => (r.prefix, r.nodes, r.edges, r.solver))
+        .toDF("prefix", "nodes", "edges", "solver")
+        .orderBy($"prefix", $"solver")
+    },
     "q_hist_trimmed" -> { (s, dir) =>
       import s.implicits._
       val deg = g(s, dir).degreeTable.select(($"inDeg" + $"outDeg").as("totalDeg"))
@@ -270,6 +282,23 @@ object SparkEntry {
       PageRank.convergenceSweep(graph, Seq(1e-4, 1e-6, 1e-8, 1e-10))
         .map(r => (r.tolerance, r.iterations, r.converged))
         .toDF("tolerance", "iterations", "converged")
+    },
+    // iteration counts at a tolerance are not SQL-expressible, but the
+    // sweep's INVARIANTS are: one row per tolerance, iterations positive and
+    // nondecreasing as the tolerance tightens (same power-iteration sequence,
+    // later stop), every run converged, and the final L1 residual at or under
+    // its tolerance. Violation counts must all be zero (constant oracle).
+    "q_sweep_check" -> { (s, dir) =>
+      import s.implicits._
+      val rows = PageRank.convergenceSweep(g(s, dir), Seq(1e-4, 1e-6, 1e-8, 1e-10))
+      val iters = rows.map(_.iterations)
+      Seq((
+        rows.length.toLong,
+        iters.zip(iters.tail).count { case (a, b) => b < a }.toLong,
+        iters.count(_ <= 0).toLong,
+        rows.count(!_.converged).toLong,
+        rows.count(r => r.converged && !(r.finalError <= r.tolerance)).toLong))
+        .toDF("n_rows", "bad_monotone", "bad_positive", "bad_converged", "bad_residual")
     },
     // ---- documents: dedup + text analysis ----
     "q_dedup_exact" -> { (s, dir) =>
@@ -448,6 +477,8 @@ object SparkEntry {
     "q_knn_brute" -> OracleSql.knnBrute(5, 10),
     "q_media_meta" -> OracleSql.mediaMeta,
     "q_media_features" -> OracleSql.mediaFeatures,
-    "q_ann_lsh_check" -> OracleSql.annLshCheck
+    "q_ann_lsh_check" -> OracleSql.annLshCheck,
+    "q_prefix_check" -> OracleSql.prefixCheck(Seq(100L, 1000L, Long.MaxValue), 2000L),
+    "q_sweep_check" -> OracleSql.sweepCheck(4)
   )
 }
