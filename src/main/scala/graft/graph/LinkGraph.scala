@@ -313,24 +313,32 @@ object LinkGraph {
   ): LinkGraph = {
     import spark.implicits._
 
+    // The folded frame is consumed several times during the build (the
+    // dictionary reads src and dst incidence separately; the remap reads it
+    // again) — without this scoped cache, every consumer re-executed the
+    // ENTIRE upstream plan (e.g. the orders⋈lineitem fold, or the repo-token
+    // self-join) 3-4×. Released in the finally once the graph's own edge
+    // cache is materialized.
     val folded = rawEdges
       .select($"src".cast("long"), $"dst".cast("long"))
       .groupBy($"src", $"dst")
       .agg(count(lit(1)).cast("double").as("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    idMode match {
+    try idMode match {
       case IdMode.DenseByMax =>
         val bounds = folded
           .agg(max(greatest($"src", $"dst")).as("mx"), min(least($"src", $"dst")).as("mn"))
           .first()
         require(!bounds.isNullAt(0), "dense-by-max graph needs at least one edge")
         require(bounds.getLong(1) >= 0L, "dense-by-max ids must be non-negative")
-        fromDenseWeighted(spark, folded.as[Edge], bounds.getLong(0) + 1, numBlocks)
+        val g = fromDenseWeighted(spark, folded.as[Edge], bounds.getLong(0) + 1, numBlocks)
+        g.numEdges // materialize the graph's edge cache through `folded`
+        g
 
       case IdMode.Compacted =>
         val dict = buildDictionary(spark, folded)
-        dict.persist(StorageLevel.MEMORY_AND_DISK)
-        val n = dict.count()
+        val n = dict.count() // already persisted by buildDictionary
 
         val srcDict = dict.toDF("extId", "vid")
         val remapped = folded
@@ -345,8 +353,10 @@ object LinkGraph {
         val bs = (n + blocks - 1) / math.max(blocks, 1)
 
         val edges = remapped.persist(StorageLevel.MEMORY_AND_DISK)
-        new LinkGraph(spark, dict, edges, n, blocks, math.max(bs, 1))
-    }
+        val g = new LinkGraph(spark, dict, edges, n, blocks, math.max(bs, 1))
+        g.numEdges // materialize the edge cache while `folded` is still held
+        g
+    } finally folded.unpersist(false)
   }
 
   /** Same, but edges are already (src, dst, weight) in dense vid space 0..n-1.
@@ -404,6 +414,12 @@ object LinkGraph {
         row_number().over(Window.partitionBy($"pid").orderBy($"extId")).cast("long") - 1 + $"offset")
       .select($"extId".cast("long"), $"vid".cast("long"))
       .as[VertexMapping]
+    // materialize the dictionary BEFORE releasing the sorted scratch cache —
+    // round 3 left `sorted` persisted for the session (an n-row residue per
+    // graph build)
+    dict.persist(StorageLevel.MEMORY_AND_DISK)
+    dict.count()
+    sorted.unpersist(false)
     dict
   }
 }
