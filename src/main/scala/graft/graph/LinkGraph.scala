@@ -284,6 +284,22 @@ object LinkGraph {
   /** Cap on edges per adjacency part — bounds single-task work under skew. */
   val MaxEdgesPerPart: Int = 2 << 20
 
+  /** Edge-budget target per block for the auto block count. */
+  private val TargetEdgesPerBlock: Long = 64L * 1024
+
+  /** Auto block count: superstep work is EDGE-dominated, so sizing blocks by
+    * vertex count alone starved small-but-dense graphs (the 2000-repo
+    * shared-pattern graph has 2.1M folded edges — n/1024 gave it ONE block,
+    * i.e. serial supersteps on 32 cores). Blocks now also scale with the
+    * folded edge count (cheap: the build holds the folded frame cached),
+    * capped at 2× parallelism; at cluster scale this is the knob that keeps
+    * per-task gather work bounded regardless of the vertex/edge ratio.
+    */
+  private def autoBlocks(spark: SparkSession, n: Long, edges: Long): Int =
+    math.max(1, math.min(
+      spark.sparkContext.defaultParallelism * 2L,
+      math.max(math.max(1L, n / 1024L), edges / TargetEdgesPerBlock)).toInt)
+
   /** Vertex-id sizing policy (SURVEY §1.3): the shared-patterns project
     * compacts ids to 0..n−1 over the OBSERVED vertices (pagerank.py:622-627);
     * the original solver project sizes the graph dense by the MAX id,
@@ -332,7 +348,9 @@ object LinkGraph {
           .first()
         require(!bounds.isNullAt(0), "dense-by-max graph needs at least one edge")
         require(bounds.getLong(1) >= 0L, "dense-by-max ids must be non-negative")
-        val g = fromDenseWeighted(spark, folded.as[Edge], bounds.getLong(0) + 1, numBlocks)
+        val n = bounds.getLong(0) + 1
+        val blocks = if (numBlocks > 0) numBlocks else autoBlocks(spark, n, folded.count())
+        val g = fromDenseWeighted(spark, folded.as[Edge], n, blocks)
         g.numEdges // materialize the graph's edge cache through `folded`
         g
 
@@ -347,9 +365,7 @@ object LinkGraph {
           .select($"srcVid".as("src"), $"dstVid".as("dst"), $"weight")
           .as[Edge]
 
-        val blocks =
-          if (numBlocks > 0) numBlocks
-          else math.max(1, math.min(spark.sparkContext.defaultParallelism * 2, math.max(1L, n / 1024L).toInt))
+        val blocks = if (numBlocks > 0) numBlocks else autoBlocks(spark, n, folded.count())
         val bs = (n + blocks - 1) / math.max(blocks, 1)
 
         val edges = remapped.persist(StorageLevel.MEMORY_AND_DISK)

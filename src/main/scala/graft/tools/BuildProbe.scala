@@ -29,6 +29,37 @@ object BuildProbe {
       r
     }
 
+    if (args.length > 2 && args(2) == "repo-steps") {
+      // sub-step breakdown of the repo pipeline for targeted optimization
+      val files = RepoFiles.table(spark, numRepos = 2000, filesPerRepo = 10, vocab = 2000)
+      t("repo_table_count")(files.count())
+      val rt = t("repo_tokens_distinct")(
+        { val r = RepoFiles.repoTokens(files).distinct(); r.count(); r })
+      val e = RepoFiles.sharedPatternEdges(files, maxReposPerToken = 200)
+      t("shared_edges_count")(println(s"[probe] pair rows: ${e.count()}"))
+      // fromEdgeList internals, step by step
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val folded = e.select($"src".cast("long"), $"dst".cast("long"))
+        .groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("weight"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("fel_fold")(println(s"[probe] folded edges: ${folded.count()}"))
+      val dict = t("fel_dict")(graft.graph.LinkGraph.buildDictionary(spark, folded))
+      val srcDict = dict.toDF("extId", "vid")
+      val remapped = folded
+        .join(srcDict.withColumnRenamed("extId", "src").withColumnRenamed("vid", "srcVid"), Seq("src"))
+        .join(srcDict.withColumnRenamed("extId", "dst").withColumnRenamed("vid", "dstVid"), Seq("dst"))
+        .select($"srcVid".as("src"), $"dstVid".as("dst"), $"weight")
+      t("fel_remap_plan")(remapped.explain())
+      t("fel_remap_count")(remapped.count())
+      val rg = t("repo_from_edge_list_total")(
+        { val g2 = graft.graph.LinkGraph.fromEdgeList(spark, e); g2.adjParts.count(); g2 })
+      t("repo_pagerank5")({ val o = PageRank.run(rg, tolerance = 0.0, maxIterations = 5); o.free() })
+      rg.unpersistAll()
+      spark.stop()
+      return
+    }
+
     val g = t("graph_build") {
       val gg = TestdataGraph.graph(spark, sfDir)
       gg.adjParts.count()
