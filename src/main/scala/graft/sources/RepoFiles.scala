@@ -99,19 +99,22 @@ object RepoFiles {
     files.withColumn("content_sha256", sha2(col("content"), 256))
 
   /** Extract (repo, token) incidences from content — one literal regex per
-    * language (regexp_extract_all + explode; no UDFs).
+    * language (regexp_extract_all + explode; no UDFs). ONE scan: the regex
+    * is selected per row by a `when` chain over `lang` (each branch keeps a
+    * foldable pattern literal, so every regex still compiles once in
+    * codegen) — the previous per-lang filter+union re-scanned, and for a
+    * generated frame re-synthesized, the whole table once per language.
     */
   def repoTokens(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    Langs
-      .map { lg =>
-        files
-          .filter($"lang" === lg)
-          .select($"repo",
-            explode(regexp_extract_all($"content", lit(importPattern(lg)), lit(1))).as("token"))
-      }
-      .reduce(_ unionAll _)
+    val extracted = Langs.tail.foldLeft(
+      when($"lang" === Langs.head,
+        regexp_extract_all($"content", lit(importPattern(Langs.head)), lit(1)))) {
+      case (acc, lg) =>
+        acc.when($"lang" === lg, regexp_extract_all($"content", lit(importPattern(lg)), lit(1)))
+    }
+    files.select($"repo", explode(extracted).as("token"))
   }
 
   /** Shared-pattern edges: distinct (repo, token) incidences self-joined on

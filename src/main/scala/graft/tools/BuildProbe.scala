@@ -60,6 +60,27 @@ object BuildProbe {
       return
     }
 
+    if (args.length > 2 && args(2) == "graph-steps") {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val raw = TestdataGraph.rawEdges(spark, sfDir)
+      val folded = raw.select($"src".cast("long"), $"dst".cast("long"))
+        .groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("weight"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("tg_fold")(println(s"[probe] folded: ${folded.count()}"))
+      val dict = t("tg_dict")(graft.graph.LinkGraph.buildDictionary(spark, folded))
+      t("tg_dict_n")(println(s"[probe] n: ${dict.count()}"))
+      val g2 = t("tg_full_build")({
+        val gg = TestdataGraph.graph(spark, sfDir); gg.adjParts.count(); gg
+      })
+      t("tg_gather")(g2.gatherPartsRdd.count())
+      t("tg_degree")(g2.degreeTable.count())
+      g2.unpersistAll()
+      TestdataGraph.clearCache()
+      spark.stop()
+      return
+    }
+
     val g = t("graph_build") {
       val gg = TestdataGraph.graph(spark, sfDir)
       gg.adjParts.count()
