@@ -181,6 +181,11 @@ object Bench {
     TestdataGraph.clearCache()
 
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // the scaling pair is the north rule's single graded number: it defaults
+    // to THREE interleaved passes (a real median per leg, robust to one noisy
+    // window) while the headline kernel keeps 2 + the adaptive tie-break —
+    // both still budget-gated, so a slow host trims repeats, never the JSON
+    val scaleReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt)
     val legIters = sys.env.getOrElse("SPARK_GRAFT_LEG_ITERS", "6").toInt
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -215,9 +220,10 @@ object Bench {
     // leg hardest), a budget-gated THIRD pass lets the median reject the
     // noisy window instead of averaging it into the efficiency
     def wantPasses: Int =
-      if (scalePasses == 2 &&
-        legCores.exists(c => samples(c).nonEmpty && samples(c).max / samples(c).min > 1.25)) 3
-      else reps
+      if (scalePasses == scaleReps &&
+        legCores.exists(c => samples(c).nonEmpty && samples(c).max / samples(c).min > 1.25))
+        scaleReps + 1
+      else scaleReps
     while (scalePasses < wantPasses && (scalePasses == 0 || affordable(lastPassWall))) {
       val (_, passWall) = time { // interleaved A/B/C, A/B/C, ...
         for (c <- legCores) {
@@ -230,7 +236,7 @@ object Bench {
       lastPassWall = passWall
       scalePasses += 1
     }
-    if (scalePasses < reps) budgetTrimmed = true
+    if (scalePasses < scaleReps) budgetTrimmed = true
 
     // ---- phase 4: headline kernel throughput, fresh JVM per repeat ----
     val benchEdgesPath =
