@@ -206,8 +206,10 @@ object Bench {
     // shuffle/DRAM ceiling — memory channels scale with NODES on a real
     // cluster; see BASELINE.md) and re-enabled via SPARK_GRAFT_SCALE_FULL_LEG=1.
     val fullLeg = sys.env.get("SPARK_GRAFT_SCALE_FULL_LEG").contains("1")
+    // the N→4N pair is 1 vs 4 cores explicitly (cpus/8 was the same 4 at the
+    // usual 32 cpus but degenerated to a single leg below 16 cpus)
     val legCores =
-      (Seq(1, math.max(1, cpus / 8)) ++ (if (fullLeg) Seq(cpus) else Nil)).distinct
+      (Seq(1, math.min(4, cpus)) ++ (if (fullLeg) Seq(cpus) else Nil)).distinct
     val samples = scala.collection.mutable.LinkedHashMap(
       legCores.map(c => c -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
     var legFolded = 0L
