@@ -33,6 +33,26 @@ object SparkEntry {
 
   private def g(s: SparkSession, dir: String): LinkGraph = TestdataGraph.graph(s, dir)
 
+  // PrefixStudy and the convergence sweep each back TWO contract queries
+  // (study + its oracle-gated check); memoized per dir like TestdataGraph's
+  // graph cache so a correctness pass runs each computation ONCE — the check
+  // queries stay "derived from the REAL run" without paying for a second
+  // full solve (round-4 verdict task #4).
+  private val prefixCache =
+    scala.collection.mutable.Map.empty[String, Seq[graft.algo.PrefixStudyRow]]
+  private def prefixStudy(s: SparkSession, dir: String): Seq[graft.algo.PrefixStudyRow] =
+    synchronized {
+      prefixCache.getOrElseUpdate(
+        dir, PrefixStudy.run(g(s, dir), Seq(100L, 1000L, Long.MaxValue), tolerance = 1e-8))
+    }
+
+  private val sweepCache =
+    scala.collection.mutable.Map.empty[String, Seq[graft.model.ConvergenceRow]]
+  private def sweep(s: SparkSession, dir: String): Seq[graft.model.ConvergenceRow] =
+    synchronized {
+      sweepCache.getOrElseUpdate(dir, PageRank.convergenceSweep(g(s, dir), Seq(1e-4, 1e-6, 1e-8, 1e-10)))
+    }
+
   /** Engine run at fixed k, output (id, rank) rounded like the oracle. */
   private def pagerankK(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
@@ -242,7 +262,7 @@ object SparkEntry {
     // wall-times are non-deterministic: rows-only check
     "q_prefix_study" -> { (s, dir) =>
       import s.implicits._
-      PrefixStudy.run(g(s, dir), Seq(100L, 1000L, Long.MaxValue), tolerance = 1e-8)
+      prefixStudy(s, dir)
         .map(r => (r.prefix, r.nodes, r.edges, r.solver, r.iterations, r.converged))
         .toDF("prefix", "nodes", "edges", "solver", "iterations", "converged")
     },
@@ -253,7 +273,7 @@ object SparkEntry {
     // divergence in its size logic fails the hash
     "q_prefix_check" -> { (s, dir) =>
       import s.implicits._
-      PrefixStudy.run(g(s, dir), Seq(100L, 1000L, Long.MaxValue), tolerance = 1e-8)
+      prefixStudy(s, dir)
         .map(r => (r.prefix, r.nodes, r.edges, r.solver))
         .toDF("prefix", "nodes", "edges", "solver")
         .orderBy($"prefix", $"solver")
@@ -278,8 +298,7 @@ object SparkEntry {
     // convergence sweep is tolerance-driven (not SQL-expressible): rows-only check
     "q_convergence_sweep" -> { (s, dir) =>
       import s.implicits._
-      val graph = g(s, dir)
-      PageRank.convergenceSweep(graph, Seq(1e-4, 1e-6, 1e-8, 1e-10))
+      sweep(s, dir)
         .map(r => (r.tolerance, r.iterations, r.converged))
         .toDF("tolerance", "iterations", "converged")
     },
@@ -290,7 +309,7 @@ object SparkEntry {
     // its tolerance. Violation counts must all be zero (constant oracle).
     "q_sweep_check" -> { (s, dir) =>
       import s.implicits._
-      val rows = PageRank.convergenceSweep(g(s, dir), Seq(1e-4, 1e-6, 1e-8, 1e-10))
+      val rows = sweep(s, dir)
       val iters = rows.map(_.iterations)
       Seq((
         rows.length.toLong,

@@ -142,14 +142,19 @@ object Multimodal {
     }
   }
 
-  /** Decoder for the batched pipeline: image payloads with a recognizable
+  /** Decoder for the batched pipeline: IMAGE payloads with a recognizable
     * PNG/JPEG/GIF header get their REAL dimensions via [[HeaderDecoder]]
     * (pure JVM, no codec libs); everything else falls back to [[FakeDecoder]],
     * the declared stub for the codec work this sandbox cannot host.
+    *
+    * Header parsing is gated on `media_type == "image"`: a real pipeline
+    * routes by the typed media column, and the DuckDB oracle models headers
+    * only on image rows — an audio/video payload whose bytes coincidentally
+    * start with 'GIF87a' must not be dimensioned as an image.
     */
   object Decoder {
     def decode(row: MediaRow): MediaFeatures =
-      HeaderDecoder.dimensions(row.payload) match {
+      (if (row.media_type == "image") HeaderDecoder.dimensions(row.payload) else None) match {
         case Some((w, h)) =>
           val fake = FakeDecoder.decode(row) // frames + feature still synthetic
           fake.copy(width = w, height = h)

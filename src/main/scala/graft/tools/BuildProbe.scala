@@ -60,6 +60,37 @@ object BuildProbe {
       return
     }
 
+    if (args.length > 2 && args(2) == "risk-steps") {
+      // sub-step breakdown of the two regressed bench queries (risk_k6,
+      // high_risk_providers), in bench order after the same warm-up, so the
+      // r3→r4 delta can be attributed to a step instead of guessed at
+      val g = t("graph_build") {
+        val gg = TestdataGraph.graph(spark, sfDir); gg.adjParts.count(); gg
+      }
+      t("pagerank_tol1e6")(PageRank.run(g, tolerance = 1e-6).free())
+      t("degree_table")(g.degreeTable.count())
+      val prior = t("composite_prior") {
+        val p = graft.analytics.NetworkAnalytics.compositeRisk(g)
+        p.count(); p
+      }
+      t("risk_k6_total") {
+        val p2 = graft.analytics.NetworkAnalytics.compositeRisk(g)
+        PageRank.propagateRisk(g, p2, tolerance = 0.0, maxIterations = 6).free()
+      }
+      val out = t("propagate6")(
+        PageRank.propagateRisk(g, prior, tolerance = 0.0, maxIterations = 6))
+      val vdf = t("to_vertex_df")({ val v = out.toVertexDf(g); v.count(); v })
+      t("risk_stats")(
+        graft.analytics.NetworkAnalytics.riskStatistics(vdf, prior).collect())
+      t("high_risk")(
+        graft.analytics.NetworkAnalytics.highRiskProviders(vdf, prior).count())
+      out.free()
+      g.unpersistAll()
+      TestdataGraph.clearCache()
+      spark.stop()
+      return
+    }
+
     if (args.length > 2 && args(2) == "graph-steps") {
       import org.apache.spark.sql.functions._
       import spark.implicits._

@@ -55,19 +55,40 @@ object KernelBench {
     // Synthetic ids are already dense in [0, n): the dictionary + remap joins
     // of the generic loader are pure setup waste here, so the graph builds via
     // the dense path. KB_EDGES_PATH (written once by KernelPrep at full cores)
-    // additionally skips per-leg generation + duplicate folding — identical
-    // bytes for every leg, minutes of single-threaded setup off the 1-core leg.
+    // additionally skips per-leg generation + duplicate folding, and
+    // KB_ADJ_BASE (KernelPrep with a blocks arg) skips the per-leg adjacency
+    // build too — the leg reads the pre-assembled Dataset[AdjPart] parquet and
+    // pays only the co-location shuffle. Identical bytes for every leg, and
+    // minutes of single-threaded setup off the 1-core leg (round-4 lesson:
+    // leg wall was ~95% setup, which starved the graded scaling repeats).
     import spark.implicits._
-    val folded0 = sys.env.get("KB_EDGES_PATH") match {
-      case Some(p) => spark.read.parquet(p)
+    val g = sys.env.get("KB_ADJ_BASE") match {
+      case Some(base) =>
+        val meta = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$base-meta.json")), "UTF-8")
+        def metaNum(key: String): Long =
+          s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta)
+            .getOrElse(throw new IllegalStateException(s"no $key in $base-meta.json")).group(1).toLong
+        require(metaNum("n") == n && metaNum("blocks") == numBlocks,
+          s"prep meta mismatch: $meta vs n=$n blocks=$numBlocks")
+        val dst =
+          if (regime == "distributed")
+            Some(spark.read.parquet(s"$base-adj-dst").as[graft.model.AdjPart]) else None
+        val src =
+          if (regime == "distributed") None
+          else Some(spark.read.parquet(s"$base-adj-src").as[graft.model.AdjPart])
+        LinkGraph.fromPrebuiltParts(spark, n, numBlocks, metaNum("folded_edges"), dst, src)
       case None =>
-        SkewedEdges.edges(spark, n, e)
-          .groupBy($"src", $"dst")
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).cast("double").as("weight"))
+        val folded0 = sys.env.get("KB_EDGES_PATH") match {
+          case Some(p) => spark.read.parquet(p)
+          case None =>
+            SkewedEdges.edges(spark, n, e)
+              .groupBy($"src", $"dst")
+              .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).cast("double").as("weight"))
+        }
+        LinkGraph.fromDenseWeighted(spark, folded0.as[graft.model.Edge], n, numBlocks = numBlocks)
     }
-    val g = LinkGraph.fromDenseWeighted(
-      spark, folded0.as[graft.model.Edge], n, numBlocks = numBlocks)
     // build + cache the regime's adjacency layout before timing
     if (regime == "distributed") g.adjPartsByBlock.count() else g.gatherPartsRdd.count()
     val folded = g.numEdges

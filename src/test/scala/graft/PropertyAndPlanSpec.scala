@@ -63,6 +63,23 @@ class PropertyAndPlanSpec extends GraftSuite {
     }
   }
 
+  test("fromDenseWeighted auto block count scales with edges, not just vertices") {
+    // small-but-dense: n = 2048 but > 1M edges. The vertex-only n/1024 fallback
+    // sized this at 2 blocks (near-serial supersteps); the edge-aware autoBlocks
+    // must hit the parallelism cap instead (round-4 verdict task #2 — the same
+    // fix fromEdgeList got, routed through fromDenseWeighted / inducedPrefix).
+    val n = 2048L
+    val edges = spark.range(1100000L)
+      .select(($"id" % n).as("src"), (($"id" / n).cast("long") % n).as("dst"), lit(1.0).as("weight"))
+      .as[graft.model.Edge]
+    val g = LinkGraph.fromDenseWeighted(spark, edges, n)
+    try {
+      assert(g.numEdges > 1000000L)
+      assert(g.numBlocks > 2, s"dense graph still vertex-sized: ${g.numBlocks} blocks")
+      assert(g.numBlocks == spark.sparkContext.defaultParallelism * 2)
+    } finally g.unpersistAll()
+  }
+
   test("property: duplicate-edge multiplicity equals integer edge weights") {
     forAllSeeded(Gen.choose(1, 5), 5) { k =>
       val raw = Seq.fill(k)((1L, 2L)) ++ Seq((2L, 3L))
