@@ -66,6 +66,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.util.FastLocalDir.sparkLocalDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -279,8 +280,12 @@ object Bench {
     val legHeap = scala.collection.mutable.Map.empty[Int, Long]
     var legFailures = 0
     var legFolded = 0L
+    // shared leg input lives on the fast scratch root (tmpfs when present —
+    // legs re-read it every pass, and the slow-disk variance it avoids is the
+    // round-4 artifact killer; see FastLocalDir)
+    val scratchRoot = graft.util.FastLocalDir.scratchRoot
     val scaleEnv =
-      prepKernelInput(cpus, scaleVertices, scaleEdges, scaleBlocks, "/tmp/graft-kernel-edges-scale")
+      prepKernelInput(cpus, scaleVertices, scaleEdges, scaleBlocks, s"$scratchRoot/graft-kernel-edges-scale")
     var scalePasses = 0
     var lastPassWall = 0.0
     var tiebreakSkipped = false
@@ -322,7 +327,7 @@ object Bench {
     // kernel phase still burned ~400 s afterwards).
     val kernelCap = if (scalePasses >= scaleReps) Int.MaxValue else math.max(1, scalePasses)
     val benchEnv =
-      prepKernelInput(cpus, benchVertices, benchEdges, benchBlocks, "/tmp/graft-kernel-edges-bench")
+      prepKernelInput(cpus, benchVertices, benchEdges, benchBlocks, s"$scratchRoot/graft-kernel-edges-bench")
     val kernelRuns = scala.collection.mutable.ArrayBuffer.empty[LegRun]
     val kernelLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     var kernelFailures = 0
@@ -408,5 +413,16 @@ object Bench {
         s""""failures":$legFailures,"tiebreak_skipped":$tiebreakSkipped,""" +
         s""""regime":"distributed","fresh_jvm_per_leg":true,"interleaved":true,""" +
         s""""legs":$legJson${if (effPairs.isEmpty) "" else effPairs.mkString(",", ",", "")}}}""")
+
+    // prep parquet may live on tmpfs (RAM) — reclaim it; best-effort, the
+    // JSON above is already out
+    for (base <- Seq(s"$scratchRoot/graft-kernel-edges-scale", s"$scratchRoot/graft-kernel-edges-bench");
+         suffix <- Seq("", "-adj-dst", "-adj-src", "-meta.json")) {
+      try {
+        val f = new java.io.File(base + suffix)
+        if (f.isDirectory) f.listFiles().foreach(_.delete())
+        f.delete()
+      } catch { case _: Exception => }
+    }
   }
 }

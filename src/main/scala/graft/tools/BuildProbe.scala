@@ -19,6 +19,7 @@ object BuildProbe {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.util.FastLocalDir.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

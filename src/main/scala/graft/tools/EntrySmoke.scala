@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.local.dir", graft.util.FastLocalDir.sparkLocalDir)
+      .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.entry(spark)
     val rows = df.collect()

@@ -45,6 +45,7 @@ object KernelBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.util.FastLocalDir.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -38,6 +38,7 @@ object KernelPrep {
       .appName("graft-kernel-prep")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.util.FastLocalDir.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
