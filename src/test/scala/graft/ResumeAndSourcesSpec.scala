@@ -182,9 +182,9 @@ class ResumeAndSourcesSpec extends GraftSuite {
   test("bench fork helpers survive a failing leg instead of killing the run") {
     // round-5 hardening (verdict task #5): a crashed leg JVM must surface as
     // a recorded failure, not an exception that loses the whole bench JSON
-    assert(Bench.forkJvm("graft.tools.NoSuchMain", Nil, Nil).isLeft)
+    assert(Bench.forkJvm("graft.tools.NoSuchMain", Nil, Nil, heap = "64m").isLeft)
     assert(Bench.forkKernelLeg(1, 10, 10, 1, "resident",
-      env = Seq("KB_EDGES_PATH" -> "/no/such/path")).isEmpty)
+      env = Seq("KB_EDGES_PATH" -> "/no/such/path"), heap = "512m").isEmpty)
     assert(Bench.load1 > 0.0 || Bench.load1 == -1.0)
   }
 
