@@ -73,6 +73,12 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
   private val d: Double = cfg.damping
   private def driverResident: Boolean = n * 8L < PageRankEngine.BroadcastThresholdBytes
 
+  /** Counter delta in ms for the per-superstep attribution columns; -1
+    * propagates "counter unavailable" without poisoning the row.
+    */
+  private def deltaMs(before: Double, after: Double): Long =
+    if (before < 0 || after < 0) -1L else math.max(0L, ((after - before) * 1000).toLong)
+
   /** Pinned helper RDDs (z / delta vectors) released when the run finishes. */
   @transient private val auxPins = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
 
@@ -270,6 +276,10 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
 
     while (iteration < cfg.maxIterations && !done) {
       val iterT0 = System.nanoTime()
+      val iterCpu0 = graft.util.HostProbe.procCpuSec()
+      val iterSteal0 = graft.util.HostProbe.stealSec()
+      val iterGc0 = graft.util.HostProbe.gcSec()
+      val iterJit0 = graft.util.HostProbe.jitSec()
       listener.snapshot()
 
       // one shuffle-free job: broadcast x; each src-major part GATHERS its own
@@ -323,7 +333,11 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
 
       val sh = listener.delta()
       metrics += SuperstepMetrics(iteration, error, sh.readBytes, sh.writeBytes,
-        sh.readRows, sh.writeRows, (System.nanoTime() - iterT0) / 1000000L)
+        sh.readRows, sh.writeRows, (System.nanoTime() - iterT0) / 1000000L,
+        procCpuMs = deltaMs(iterCpu0, graft.util.HostProbe.procCpuSec()),
+        stealMs = deltaMs(iterSteal0, graft.util.HostProbe.stealSec()),
+        gcMs = deltaMs(iterGc0, graft.util.HostProbe.gcSec()),
+        jitMs = deltaMs(iterJit0, graft.util.HostProbe.jitSec()))
       if (error < cfg.tolerance) { converged = true; done = true }
 
       cfg.checkpointDir.foreach { dir =>
@@ -499,6 +513,10 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
 
     while (iteration < cfg.maxIterations && !done) {
       val iterT0 = System.nanoTime()
+      val iterCpu0 = graft.util.HostProbe.procCpuSec()
+      val iterSteal0 = graft.util.HostProbe.stealSec()
+      val iterGc0 = graft.util.HostProbe.gcSec()
+      val iterJit0 = graft.util.HostProbe.jitSec()
       listener.snapshot()
 
       val contribs = contribsOf(xRdd)
@@ -609,7 +627,11 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
       iteration += 1
       val sh = listener.delta()
       metrics += SuperstepMetrics(iteration, error, sh.readBytes, sh.writeBytes,
-        sh.readRows, sh.writeRows, (System.nanoTime() - iterT0) / 1000000L)
+        sh.readRows, sh.writeRows, (System.nanoTime() - iterT0) / 1000000L,
+        procCpuMs = deltaMs(iterCpu0, graft.util.HostProbe.procCpuSec()),
+        stealMs = deltaMs(iterSteal0, graft.util.HostProbe.stealSec()),
+        gcMs = deltaMs(iterGc0, graft.util.HostProbe.gcSec()),
+        jitMs = deltaMs(iterJit0, graft.util.HostProbe.jitSec()))
       if (PageRankEngine.debug)
         println(s"[graft] superstep=$iteration ms=${metrics.last.wallMs} residual=$error")
       if (error < cfg.tolerance) { converged = true; done = true }

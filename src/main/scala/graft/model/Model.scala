@@ -121,7 +121,14 @@ final case class PageRankRun(
     numEdges: Long
 )
 
-/** Per-superstep observability row (north rule: rows, bytes shuffled, residual). */
+/** Per-superstep observability row (north rule: rows, bytes shuffled, residual).
+  *
+  * procCpuMs/stealMs (-1 when unavailable) attribute a slow superstep from
+  * inside the metrics: wall >> procCpu/cores with ~0 steal = the process
+  * WAITED (scheduler, fetch, lock); wall ≈ stolen share = hypervisor took
+  * the cpu; wall ≈ procCpu/cores = the step genuinely computed that long.
+  * On the shared-VM bench host these three look identical from wall alone.
+  */
 final case class SuperstepMetrics(
     superstep: Int,
     residual: Double,
@@ -129,7 +136,11 @@ final case class SuperstepMetrics(
     shuffleWriteBytes: Long,
     shuffleReadRows: Long,
     shuffleWriteRows: Long,
-    wallMs: Long
+    wallMs: Long,
+    procCpuMs: Long = -1L,
+    stealMs: Long = -1L,
+    gcMs: Long = -1L,
+    jitMs: Long = -1L
 )
 
 final case class ConvergenceRow(

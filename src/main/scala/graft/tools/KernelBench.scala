@@ -56,18 +56,15 @@ object KernelBench {
     best
   }
 
-  /** Cumulative stolen cpu-seconds from /proc/stat (tick 7, USER_HZ=100);
-    * -1 when unavailable. Deltas around the timed region expose hypervisor
-    * steal that loadavg cannot see.
+  /** Stolen cpu-seconds on this leg's pinned cpus (KB_PIN_CPUS, set by the
+    * bench alongside the taskset pin) — see [[graft.util.HostProbe]]. Pinned
+    * rows matter: the machine-wide row also accrues timer-tick steal on the
+    * other 31 idle vcpus, which round-5 probes measured at up to 1.5× a
+    * pinned 1-core leg's entire busy time — enough to mislabel a provably
+    * clean leg (its step times matched the quiet pass to 0.5%) as
+    * storm-poisoned.
     */
-  private def stealSec(): Double =
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val cols = src.getLines().next().trim.split("\\s+")
-        if (cols.length > 8) cols(8).toDouble / 100.0 else -1.0
-      } finally src.close()
-    } catch { case _: Exception => -1.0 }
+  private def stealSec(): Double = graft.util.HostProbe.stealSec()
 
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
@@ -139,12 +136,27 @@ object KernelBench {
     val folded = g.numEdges
     val weather = memGbps() // DRAM weather snapshot, right before the timed region
     val steal0 = stealSec()
+    val classes0 = graft.util.HostProbe.loadedClasses()
     val out = PageRank.run(g, damping = 0.85, tolerance = 0.0, maxIterations = iters)
+    val classesPerStep = (graft.util.HostProbe.loadedClasses() - classes0) / math.max(1, iters)
     val steal1 = stealSec()
-    // median superstep, first two warm-up steps excluded: robust to stray GC
+    // median superstep with warm-up excluded — a core-confined leg JIT-warms
+    // IN its own cpu budget (exactly like a real pinned executor), which
+    // round-5 step traces show stretching the decay past step 3; drop a
+    // third of the schedule (min 2) rather than a fixed 2
     val all = out.metrics.map(_.wallMs / 1000.0)
-    val times = out.metrics.drop(2).map(_.wallMs).sorted
+    val warmup = math.max(2, iters / 3)
+    val times = out.metrics.drop(warmup).map(_.wallMs).sorted
     val med = times(times.size / 2) / 1000.0
+    // fastest single superstep: every superstep does IDENTICAL work
+    // (tolerance 0 → no early exit, fixed adjacency, fixed arithmetic), so
+    // under strictly-additive interference the minimum is the uncontended
+    // estimator. This host co-schedules vcpus with other tenants at the
+    // physical-core level: round-5 traces show steps burning 8-10× more
+    // cpu-seconds for identical work with ZERO steal and wall ≈ cpu — no
+    // in-guest counter can even see it, but one uncontended step per leg
+    // reveals the true speed (cf. hyperfine's min / JMH best-of practice).
+    val best = all.min
     out.free()
     g.unpersistAll()
     // peak heap across all heap pools — evidence that the distributed
@@ -154,6 +166,17 @@ object KernelBench {
       .mapToLong(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
       .sum() / (1024 * 1024)
     val stepsJson = all.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // per-step attribution columns (engine metrics, see SuperstepMetrics):
+    // cpu ≈ wall×cores and steal ≈ 0 → genuine compute; cpu << wall×cores →
+    // the process waited; steal ≈ the gap → the hypervisor took the cpu
+    val stepsCpuJson =
+      out.metrics.map(m => f"${m.procCpuMs / 1000.0}%.3f").mkString("[", ",", "]")
+    val stepsStealJson =
+      out.metrics.map(m => f"${m.stealMs / 1000.0}%.3f").mkString("[", ",", "]")
+    val stepsGcJson =
+      out.metrics.map(m => f"${m.gcMs / 1000.0}%.3f").mkString("[", ",", "]")
+    val stepsJitJson =
+      out.metrics.map(m => f"${m.jitMs / 1000.0}%.3f").mkString("[", ",", "]")
     // stolen cpu-seconds normalized by this leg's busy cpu-time: ~0 on a
     // quiet host, ~0.5 when the hypervisor takes half of every busy vcpu.
     // Round-5 probes measured 0.48 on a 1-core leg at loadavg 1.3 — the
@@ -161,11 +184,23 @@ object KernelBench {
     val stealFrac =
       if (steal0 < 0 || steal1 < 0 || all.isEmpty) -1.0
       else (steal1 - steal0) / math.max(1e-9, all.sum * cores)
-    println(
+    val line =
       f"""{"cores":$cores,"vertices":$n,"requested_edges":$e,"folded_edges":$folded,""" +
-        f""""superstep_sec":$med%.4f,"edges_per_sec":${folded / med}%.0f,"peak_heap_mb":$peakHeapMb,""" +
+        f""""superstep_sec":$med%.4f,"superstep_best":$best%.4f,""" +
+        f""""edges_per_sec":${folded / med}%.0f,"peak_heap_mb":$peakHeapMb,""" +
         f""""mem_gbps":$weather%.2f,"steal_sec":${steal1 - steal0}%.2f,"steal_frac":$stealFrac%.3f,""" +
-        f""""steps":$stepsJson}""")
+        f""""steps":$stepsJson,"steps_cpu":$stepsCpuJson,"steps_steal":$stepsStealJson,""" +
+        f""""steps_gc":$stepsGcJson,"steps_jit":$stepsJitJson,"classes_per_step":$classesPerStep%.0f}"""
+    println(line)
+    // forensics trail: every leg appends its full JSON to the scratch root,
+    // so a surprising bench artifact can be dissected per-superstep even
+    // though the bench JSON only carries leg medians
+    try {
+      val log = java.nio.file.Paths.get(graft.util.FastLocalDir.scratchRoot, "graft-legs.jsonl")
+      java.nio.file.Files.write(
+        log, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Exception => }
     spark.stop()
   }
 }
