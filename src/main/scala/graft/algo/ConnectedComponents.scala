@@ -35,10 +35,26 @@ import graft.graph.{LinkGraph, Lineage}
   */
 object ConnectedComponents {
 
+  /** Per-vertex frames pinned via [[Lineage.pin]] report DEFAULT (huge)
+    * statistics, so the planner would sort-merge-join them against the
+    * edge-scale side — shuffling the big side once per round. Below this
+    * bound (≈4M vertices × 16 B) the label frame gets an explicit broadcast
+    * hint instead; above it the joins stay shuffle-based, which is the right
+    * shape at cluster scale.
+    */
+  private val BroadcastLabelBytes: Long = 64L * 1024 * 1024
+
   /** Returns (vid, label) for every vertex in the dictionary. */
   def run(graph: LinkGraph, maxIterations: Int = 50): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
+    // labels/mins frames are ≤ numVertices rows of two longs
+    val hintSmall: DataFrame => DataFrame =
+      if (graph.numVertices * 16 < BroadcastLabelBytes) broadcast(_) else identity
+    // (measured: disabling AQE inside this loop cut job count 31→19 but left
+    // the wall unchanged at contract scale, while losing AQE's runtime skew
+    // handling at cluster scale — so AQE stays ON here, with the join
+    // strategy pinned by the explicit size-gated hints above)
 
     val orig = graph.edges
       .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
@@ -53,7 +69,9 @@ object ConnectedComponents {
     var converged = false
     var iteration = 0
 
+    val debug = sys.env.contains("GRAFT_DEBUG")
     while (iteration < maxIterations && !converged) {
+      val roundT0 = System.nanoTime()
       // candidate labels from the current edge set: l(x) = min(x, Γ(x)) —
       // ONE pinned aggregation serves BOTH the fixpoint check and large-star
       // (they are the same groupBy-min; round 3 computed it twice per round)
@@ -75,8 +93,8 @@ object ConnectedComponents {
       val bad =
         if (iteration == 0 && maxIterations > 1) -1L
         else orig
-          .join(lab.select($"x".as("u"), $"l".as("lu")), Seq("u"), "left")
-          .join(lab.select($"x".as("v"), $"l".as("lv")), Seq("v"), "left")
+          .join(hintSmall(lab.select($"x".as("u"), $"l".as("lu"))), Seq("u"), "left")
+          .join(hintSmall(lab.select($"x".as("v"), $"l".as("lv"))), Seq("v"), "left")
           .filter(coalesce($"lu", $"u") =!= coalesce($"lv", $"v"))
           .count()
 
@@ -86,17 +104,20 @@ object ConnectedComponents {
         labels = lab
       } else {
         // ---- large-star (reuses the pinned candidate-label aggregation) ----
+        // no intermediate distinct: duplicate (v, m) rows are absorbed by
+        // small-star's min-aggregation and final distinct anyway, and the
+        // dedup exchange here was a full shuffle of an edge-scale frame per
+        // round for no change in the round's output set (guide §2.4)
         val large = bidir
           .filter($"v" > $"u")
-          .join(lab.select($"x".as("u"), $"l".as("m")), Seq("u"))
+          .join(hintSmall(lab.select($"x".as("u"), $"l".as("m"))), Seq("u"))
           .select($"v".as("u"), $"m".as("v"))
-          .distinct()
         // ---- small-star ----
         val le = large.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
           .filter($"u" =!= $"v")
         val mins2 = le.groupBy($"u").agg(min($"v").as("m")) // m = min(Γ≤(u) ∪ {u})
         val small = le
-          .join(mins2, Seq("u"))
+          .join(hintSmall(mins2), Seq("u"))
           .filter($"v" =!= $"m")
           .select($"v".as("u"), $"m".as("v"))
           .union(mins2.select($"u", $"m".as("v")))
@@ -108,6 +129,9 @@ object ConnectedComponents {
         freeCur = freeNext
         iteration += 1
       }
+      if (debug)
+        System.err.println(
+          f"[graft] cc round=$iteration converged=$converged ${(System.nanoTime() - roundT0) / 1e9}%.2f s")
     }
 
     if (!converged) {
@@ -119,7 +143,7 @@ object ConnectedComponents {
 
     // zero-fill: isolated vertices (and contracted roots) label themselves
     val out = graph.vertexDict
-      .join(labels.select($"x".as("vid"), $"l"), Seq("vid"), "left")
+      .join(hintSmall(labels.select($"x".as("vid"), $"l")), Seq("vid"), "left")
       .select($"vid", coalesce($"l", $"vid").as("label"))
     val (pinned, _) = Lineage.pin(out)
     freeLabels()

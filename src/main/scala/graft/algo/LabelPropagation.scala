@@ -48,23 +48,38 @@ object LabelPropagation {
     import spark.implicits._
 
     val p = math.max(1, spark.sparkContext.defaultParallelism)
+    // ONE exchange builds the undirected fold in join-key layout: the
+    // repartition by src comes FIRST and hashpartitioning(src) satisfies the
+    // (src, dst) aggregation's clustered-distribution requirement (subset
+    // rule), so the groupBy runs in place and its output KEEPS the src layout
+    // every superstep join reuses — the previous agg-then-repartition shape
+    // paid a second full shuffle of the 2|E| frame (guide §2.4).
     val und = graph.edges
       .select($"src", $"dst", $"weight")
       .union(graph.edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+      .repartition(p, $"src") // join-key layout, reused by every superstep
       .groupBy($"src", $"dst")
       .agg(sum($"weight").as("weight"))
       .filter($"weight" > 0) // self-vote precondition: votes must outweigh w=0
-      .repartition(p, $"src") // join-key layout, reused by every superstep
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
+
+    // pinned frames report default (huge) stats, so without the hint the
+    // planner sort-merge-joins the n-row label frame against the cached edge
+    // table — re-sorting 2|E| rows per superstep. Broadcast only below the
+    // size bound; at cluster scale the shuffle join is the right shape.
+    val hintSmall: DataFrame => DataFrame =
+      if (graph.numVertices * 16 < 64L * 1024 * 1024) broadcast(_) else identity
 
     var (labels, freeLabels) = graft.graph.Lineage.pin(
       graph.vertexDict.select($"vid", $"vid".as("label")).toDF())
 
+    val debug = sys.env.contains("GRAFT_DEBUG")
     var k = 0
     while (k < iterations) {
+      val stepT0 = System.nanoTime()
       val votes = und
-        .join(labels, und("src") === labels("vid"))
+        .join(hintSmall(labels), und("src") === labels("vid"))
         .select(und("dst").as("vid"), $"label", $"weight".as("w"))
         .union(labels.select($"vid", $"label", lit(0.0).as("w")))
       val adopted = votes
@@ -82,6 +97,9 @@ object LabelPropagation {
       } else {
         labels = adopted
       }
+      if (debug)
+        System.err.println(
+          f"[graft] lpa superstep=$k ${(System.nanoTime() - stepT0) / 1e9}%.2f s")
     }
     und.unpersist()
     labels

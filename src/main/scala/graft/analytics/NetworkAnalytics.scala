@@ -199,8 +199,15 @@ object NetworkAnalytics {
           + lit(1.0 / 3) * when($"mT" > 0, $"totalDeg" / $"mT").otherwise(0.0)
           + lit(1.0 / 3) * when($"mI" > 0, $"imb" / $"mI").otherwise(0.0)
           + lit(1.0 / 3) * when($"mO" > 0, $"iso" / $"mO").otherwise(0.0)).as("raw"))
-    val total = scored.agg(sum($"raw")).first().getDouble(0)
-    scored.select($"vid", ($"raw" / lit(total)).as("value"))
+    // pin the scored frame ONCE: the returned prior is consumed repeatedly
+    // (the total below, the engine's normalization sum, its chunking pass,
+    // risk statistics…) and every consumption used to replay the maxes
+    // broadcast + degree join chain — 3+ full evaluations per risk query.
+    // The localCheckpoint cache is reclaimed by the ContextCleaner when the
+    // frame becomes unreferenced (same pattern as keyProviders).
+    val (scoredP, _) = graft.graph.Lineage.pin(scored)
+    val total = scoredP.agg(sum($"raw")).first().getDouble(0)
+    scoredP.select($"vid", ($"raw" / lit(total)).as("value"))
   }
 
   /** risk_statistics block (pagerank.py:307-362) over propagated risk (vid,

@@ -183,8 +183,13 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     * derived from the pinned prior chunks, not a second prior evaluation.
     */
   private lazy val deltaRdd: RDD[RankChunk] = {
+    val scale = 1.0 - d
     val ds = priorChunksPinned
-      .map(c => RankChunk(c.blockId, c.loVid, c.values.map(_ * (1.0 - d))))
+      .map { c =>
+        val v = new Array[Double](c.values.length)
+        var i = 0; while (i < v.length) { v(i) = c.values(i) * scale; i += 1 }
+        RankChunk(c.blockId, c.loVid, v)
+      }
     val r = pinRdd(graph.toBlockLayout(ds))
     auxPins += r
     r
@@ -287,7 +292,9 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
       // there is no cross-task combine stage at all; the driver adds the
       // (block-aligned, possibly split) slices into gx. Collect volume = n
       // doubles total, independent of parallelism.
+      val phaseT0 = System.nanoTime()
       val bcast: Broadcast[Array[Double]] = sc.broadcast(x)
+      val phaseT1 = System.nanoTime()
       val slices = graph.gatherPartsRdd
         .map { part =>
           val xs = bcast.value
@@ -298,6 +305,7 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
           RankChunk(part.blockId, lo, out)
         }
         .collect()
+      val phaseT2 = System.nanoTime()
       bcast.destroy()
       val gx = new Array[Double](n.toInt)
       slices.foreach { s =>
@@ -305,30 +313,32 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
         val base = s.loVid.toInt
         while (i < s.values.length) { gx(base + i) += s.values(i); i += 1 }
       }
+      val phaseT3 = System.nanoTime()
+      if (PageRankEngine.debug)
+        System.err.println(
+          f"[graft] resident phases: bcast ${(phaseT1 - phaseT0) / 1e6}%.1f ms, " +
+            f"job+collect ${(phaseT2 - phaseT1) / 1e6}%.1f ms, " +
+            f"combine ${(phaseT3 - phaseT2) / 1e6}%.1f ms")
 
-      // driver-side update in the reference's exact operation order
+      // Driver-side update in the reference's exact operation order — in
+      // SMALL static methods, not inline: runResident exceeds HotSpot's
+      // 8000-bytecode DontCompileHugeMethods limit, so loops written inline
+      // here run INTERPRETED for the whole job (measured ~320 ms/superstep at
+      // n = 4M vs ~30 ms for the identical loops in a compiled method).
       val xOld = x
-      x = cfg.mode match {
+      val (xNew, err) = cfg.mode match {
         case PageRankMode.ReferenceRenorm =>
-          val sumX = xOld.sum // np.sum(x), pagerank.py:194
-          val delta = (1.0 - d) / n
-          val y = gx.map(v => d * v + delta * sumX)
-          val sumY = y.sum
-          var i = 0; while (i < y.length) { y(i) /= sumY; i += 1 } // pagerank.py:197
-          y
+          PageRankEngine.residentRenormUpdate(gx, xOld, d, n)
         case PageRankMode.RiskPropagation =>
-          val y = new Array[Double](n.toInt)
-          var i = 0; while (i < y.length) { y(i) = d * gx(i) + deltaVec(i); i += 1 } // pagerank.py:301
-          y
+          PageRankEngine.residentRiskUpdate(gx, xOld, deltaVec, d)
         case PageRankMode.MolerDangling =>
-          var zx = 0.0
-          var i = 0; while (i < n.toInt) { zx += zVec(i) * xOld(i); i += 1 } // z@x, original:138
-          val t = zx / n
-          val y = new Array[Double](n.toInt)
-          i = 0; while (i < y.length) { y(i) = d * gx(i) + t; i += 1 }
-          y
+          PageRankEngine.residentMolerUpdate(gx, xOld, zVec, d, n)
       }
-      error = { var s = 0.0; var i = 0; while (i < x.length) { s += math.abs(x(i) - xOld(i)); i += 1 }; s }
+      x = xNew
+      error = err
+      if (PageRankEngine.debug)
+        System.err.println(
+          f"[graft] resident update: ${(System.nanoTime() - phaseT3) / 1e6}%.1f ms")
       iteration += 1
 
       val sh = listener.delta()
@@ -352,7 +362,12 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
 
     val finalX = cfg.mode match {
       case PageRankMode.MolerDangling =>
-        val s = x.sum; x.map(_ / s) // final renorm only (original_pagerank/pagerank.py:144)
+        // final renorm only (original_pagerank/pagerank.py:144); while loops
+        // for the same boxing reason as the superstep update
+        val s = PageRankEngine.sumSeq(x)
+        val out = new Array[Double](x.length)
+        var i = 0; while (i < out.length) { out(i) = x(i) / s; i += 1 }
+        out
       case _ => x
     }
     val (chunks, rdd) = finishChunksHandle(finalX)
@@ -383,7 +398,7 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
 
     // np.sum(x) carried across supersteps (renorm mode teleport term)
     var sumX = cfg.mode match {
-      case PageRankMode.ReferenceRenorm => xRdd.map(_.values.sum).sum()
+      case PageRankMode.ReferenceRenorm => xRdd.map(c => PageRankEngine.sumSeq(c.values)).sum()
       case _ => 0.0
     }
     // z·x carried across supersteps (Moler mode)
@@ -645,8 +660,12 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
 
     val finalRdd = cfg.mode match {
       case PageRankMode.MolerDangling =>
-        val s = xRdd.map(_.values.sum).sum()
-        val out = pinRdd(xRdd.map(c => RankChunk(c.blockId, c.loVid, c.values.map(_ / s))))
+        val s = xRdd.map(c => PageRankEngine.sumSeq(c.values)).sum()
+        val out = pinRdd(xRdd.map { c =>
+          val v = new Array[Double](c.values.length)
+          var i = 0; while (i < v.length) { v(i) = c.values(i) / s; i += 1 }
+          RankChunk(c.blockId, c.loVid, v)
+        })
         xRdd.unpersist(false)
         out
       case _ => xRdd
@@ -692,6 +711,67 @@ object PageRankEngine {
     * the gather sums them). Executor peak ≈ concurrentTasks × this.
     */
   var SlabBudgetBytes: Long = 256L * 1024 * 1024
+
+  /** Sequential left-to-right sum — the while-loop twin of `Array[Double].sum`
+    * (which boxes every element through Numeric); identical fp result.
+    */
+  private[engine] def sumSeq(xs: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < xs.length) { s += xs(i); i += 1 }
+    s
+  }
+
+  /** Resident-regime ReferenceRenorm update (pagerank.py:194-197) + L1
+    * residual, exact reference operation order: sumX → y = d·gx + tele·sumX →
+    * y /= sum(y) → Σ|y − xOld|. Lives in its own (small, JIT-compilable)
+    * method — see the runResident call site for why.
+    */
+  private[engine] def residentRenormUpdate(
+      gx: Array[Double], xOld: Array[Double], d: Double, n: Long): (Array[Double], Double) = {
+    val sumX = sumSeq(xOld) // np.sum(x), pagerank.py:194
+    val t = (1.0 - d) / n * sumX
+    val y = new Array[Double](gx.length)
+    var i = 0
+    while (i < y.length) { y(i) = d * gx(i) + t; i += 1 }
+    val sumY = sumSeq(y)
+    i = 0
+    while (i < y.length) { y(i) /= sumY; i += 1 } // pagerank.py:197
+    var err = 0.0
+    i = 0
+    while (i < y.length) { err += math.abs(y(i) - xOld(i)); i += 1 }
+    (y, err)
+  }
+
+  /** Resident-regime risk update y = d·gx + delta (pagerank.py:301) + L1 residual. */
+  private[engine] def residentRiskUpdate(
+      gx: Array[Double], xOld: Array[Double], deltaVec: Array[Double], d: Double)
+      : (Array[Double], Double) = {
+    val y = new Array[Double](gx.length)
+    var i = 0
+    while (i < y.length) { y(i) = d * gx(i) + deltaVec(i); i += 1 }
+    var err = 0.0
+    i = 0
+    while (i < y.length) { err += math.abs(y(i) - xOld(i)); i += 1 }
+    (y, err)
+  }
+
+  /** Resident-regime Moler update y = d·gx + (z·xOld)/n (original:138) + L1 residual. */
+  private[engine] def residentMolerUpdate(
+      gx: Array[Double], xOld: Array[Double], zVec: Array[Double], d: Double, n: Long)
+      : (Array[Double], Double) = {
+    var zx = 0.0
+    var i = 0
+    while (i < xOld.length) { zx += zVec(i) * xOld(i); i += 1 } // z@x, original:138
+    val t = zx / n
+    val y = new Array[Double](gx.length)
+    i = 0
+    while (i < y.length) { y(i) = d * gx(i) + t; i += 1 }
+    var err = 0.0
+    i = 0
+    while (i < y.length) { err += math.abs(y(i) - xOld(i)); i += 1 }
+    (y, err)
+  }
 
   /** Sum incoming contribution slabs (dense or compacted sparse) into gx. */
   private[engine] def gatherContribs(

@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 
 import graft.model._
@@ -200,38 +199,29 @@ final class LinkGraph(
     val n = numVertices
     val bs = blockSize
     val nb = numBlocks
-    vec
+    // ONE shuffle: rows route straight to their block's partition (the
+    // HashPartitioner is the identity on blockIds 0..nb-1) and each partition
+    // fills its dense chunk directly — empty partitions still emit a default
+    // chunk, so no second union+reduce pass over the chunk arrays is needed
+    // (the previous groupByKey → union(defaults) → reduceGroups shape paid a
+    // second O(n)-byte shuffle and a merge pass per call; this is the fused
+    // outer-join flagged in the round-5 review). Values are identical: a slot
+    // is `v` when (vid, v) exists, `default` otherwise — the old merge
+    // computed v + default − default.
+    val rdd = vec
       .select($"vid".cast("long"), $"value".cast("double"))
       .as[(Long, Double)]
-      .groupByKey { case (vid, _) => (vid / bs).toInt }
-      .mapGroups { (blockId, it) =>
+      .rdd
+      .map { case (vid, v) => ((vid / bs).toInt, (vid, v)) }
+      .partitionBy(blockPartitioner)
+      .mapPartitionsWithIndex { (blockId, it) =>
         val lo = blockId.toLong * bs
         val len = math.min(bs, n - lo).toInt
         val arr = Array.fill(len)(default)
-        it.foreach { case (vid, v) => arr((vid - lo).toInt) = v }
-        RankChunk(blockId, lo, arr)
+        it.foreach { case (_, (vid, v)) => arr((vid - lo).toInt) = v }
+        Iterator.single(RankChunk(blockId, lo, arr))
       }
-      .union(
-        // blocks with no entries still need a chunk of defaults
-        spark.range(nb).as[Long].map { b =>
-          val lo = b * bs
-          val len = math.min(bs, n - lo).toInt
-          RankChunk(b.toInt, lo, Array.fill(len)(default))
-        })
-      .groupByKey(_.blockId)
-      .reduceGroups { (a: RankChunk, b: RankChunk) =>
-        // merge real chunk over default chunk: prefer entries from the non-default
-        // one; identified by reference — the grouped pair has at most one "real".
-        val out = new Array[Double](a.values.length)
-        var i = 0
-        while (i < out.length) {
-          // a and b: one is all-default; sum-minus-default keeps the real value
-          out(i) = a.values(i) + b.values(i) - default
-          i += 1
-        }
-        RankChunk(a.blockId, a.loVid, out)
-      }
-      .map(_._2)
+    spark.createDataset(rdd)
   }
 
   /** Explode chunks back to a (vid, value) DataFrame. */
@@ -369,6 +359,29 @@ object LinkGraph {
       idMode: IdMode = IdMode.Compacted
   ): LinkGraph = {
     import spark.implicits._
+    fromFoldedEdgeList(
+      spark,
+      rawEdges
+        .select($"src".cast("long"), $"dst".cast("long"))
+        .groupBy($"src", $"dst")
+        .agg(count(lit(1)).cast("double").as("weight")),
+      numBlocks,
+      idMode)
+  }
+
+  /** [[fromEdgeList]] for a caller that already folded duplicates into
+    * (src, dst, weight) — e.g. a symmetric pair generator that folds each
+    * unordered pair once and mirrors it, halving the fold shuffle (see
+    * [[graft.sources.RepoFiles.linkGraph]]). The weight column must carry
+    * the duplicate multiplicities the internal fold would have produced.
+    */
+  def fromFoldedEdgeList(
+      spark: SparkSession,
+      foldedEdges: DataFrame,
+      numBlocks: Int = 0,
+      idMode: IdMode = IdMode.Compacted
+  ): LinkGraph = {
+    import spark.implicits._
 
     // The folded frame is consumed several times during the build (the
     // dictionary reads src and dst incidence separately; the remap reads it
@@ -376,10 +389,8 @@ object LinkGraph {
     // ENTIRE upstream plan (e.g. the orders⋈lineitem fold, or the repo-token
     // self-join) 3-4×. Released in the finally once the graph's own edge
     // cache is materialized.
-    val folded = rawEdges
-      .select($"src".cast("long"), $"dst".cast("long"))
-      .groupBy($"src", $"dst")
-      .agg(count(lit(1)).cast("double").as("weight"))
+    val folded = foldedEdges
+      .select($"src".cast("long"), $"dst".cast("long"), $"weight".cast("double"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try idMode match {
@@ -483,24 +494,43 @@ object LinkGraph {
     val ids = folded
       .select($"src".as("extId"))
       .union(folded.select($"dst".as("extId")))
-      .distinct()
     val p = math.max(1, spark.sparkContext.defaultParallelism)
+    // Global-sort indexing via zipWithIndex: range-partition + sort gives the
+    // ascending-extId order; zipWithIndex assigns the global 0-based index in
+    // partition order (= range order), which IS the vid. Identical assignment
+    // to the previous per-partition-count + offset-broadcast + row_number
+    // pipeline (vid depends only on the global sort order, so it stays
+    // deterministic at any parallelism and any sampled range boundaries), but
+    // in ONE extra job over the sorted frame instead of a counts collect plus
+    // a pid-partitioned window shuffle plus a broadcast join. Dedup happens
+    // AFTER the range sort as an adjacent-equal skip (range partitioning puts
+    // equal ids in one partition, sorted adjacent), replacing the previous
+    // hash-distinct's extra full exchange of the 2|E| incidence frame with a
+    // streaming pass (guide §2.4); set semantics are unchanged.
     val sorted = ids
       .repartitionByRange(p, $"extId")
       .sortWithinPartitions($"extId")
-      .withColumn("pid", spark_partition_id())
+      .select($"extId".cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        new Iterator[Long] {
+          private var has = false
+          private var cur = 0L
+          advance()
+          private def advance(): Unit = {
+            while (it.hasNext) {
+              val v = it.next()
+              if (!has || v != cur) { has = true; cur = v; return }
+            }
+            has = false
+          }
+          override def hasNext: Boolean = has
+          override def next(): Long = { val v = cur; advance(); v }
+        }
+      }
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.groupBy($"pid").count().collect().map(r => (r.getInt(0), r.getLong(1)))
-    val offsets = counts.sortBy(_._1).scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
-    val offsetByPid = counts.sortBy(_._1).zip(offsets).map { case ((pid, _), (_, off)) => (pid, off) }.toMap
-    val offsetDf = offsetByPid.toSeq.toDF("pid", "offset")
-    val dict = sorted
-      .join(broadcast(offsetDf), Seq("pid"))
-      .withColumn(
-        "vid",
-        row_number().over(Window.partitionBy($"pid").orderBy($"extId")).cast("long") - 1 + $"offset")
-      .select($"extId".cast("long"), $"vid".cast("long"))
-      .as[VertexMapping]
+    val dict = spark.createDataset(
+      sorted.rdd.zipWithIndex.map { case (extId, vid) => VertexMapping(extId, vid) })
     // materialize the dictionary BEFORE releasing the sorted scratch cache —
     // round 3 left `sorted` persisted for the session (an n-row residue per
     // graph build)

@@ -130,10 +130,7 @@ object RepoFiles {
   def sharedPatternEdges(files: DataFrame, maxReposPerToken: Int = 1000): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    val rt = repoTokens(files).distinct()
-    val tokenCounts = rt.groupBy($"token").agg(count(lit(1)).as("nRepos"))
-    val kept = rt
-      .join(tokenCounts.filter($"nRepos" <= maxReposPerToken).select($"token"), Seq("token"))
+    val kept = keptTokens(files, maxReposPerToken)
     val a = kept.select($"token", $"repo".as("repoA"))
     val b = kept.select($"token", $"repo".as("repoB"))
     a.join(b, Seq("token"))
@@ -150,7 +147,39 @@ object RepoFiles {
     files.select($"repo").distinct().select($"repo", xxhash64($"repo").as("extId"))
   }
 
-  /** Full pipeline: synthesize (or take) a repo-file table and build the graph. */
-  def linkGraph(spark: SparkSession, files: DataFrame, maxReposPerToken: Int = 1000): LinkGraph =
-    LinkGraph.fromEdgeList(spark, sharedPatternEdges(files, maxReposPerToken))
+  /** Full pipeline: synthesize (or take) a repo-file table and build the graph.
+    *
+    * The shared-pattern pair stream is symmetric by construction (both
+    * orientations of every repo pair, identical multiplicities), so the fold
+    * runs on the a<b HALF of the self-join output and mirrors the folded
+    * result — the join emits half the rows and the fold exchange carries half
+    * the bytes (guide §2.3), while the folded edge set handed to the graph
+    * build is identical to folding the full both-orientations stream: the
+    * weight of (a, b) is the shared-token count either way.
+    */
+  def linkGraph(spark: SparkSession, files: DataFrame, maxReposPerToken: Int = 1000): LinkGraph = {
+    import spark.implicits._
+    val rt = keptTokens(files, maxReposPerToken)
+    val a = rt.select($"token", $"repo".as("repoA"))
+    val b = rt.select($"token", $"repo".as("repoB"))
+    val half = a.join(b, Seq("token"))
+      .filter($"repoA" < $"repoB")
+      .select(xxhash64($"repoA").as("src"), xxhash64($"repoB").as("dst"))
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).cast("double").as("weight"))
+    val folded = half.union(half.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    LinkGraph.fromFoldedEdgeList(spark, folded)
+  }
+
+  /** Distinct (repo, token) incidences surviving the hot-token cap — the
+    * candidate-generation input shared by [[sharedPatternEdges]] and
+    * [[linkGraph]].
+    */
+  private def keptTokens(files: DataFrame, maxReposPerToken: Int): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val rt = repoTokens(files).distinct()
+    val tokenCounts = rt.groupBy($"token").agg(count(lit(1)).as("nRepos"))
+    rt.join(tokenCounts.filter($"nRepos" <= maxReposPerToken).select($"token"), Seq("token"))
+  }
 }

@@ -85,6 +85,10 @@ object KernelBench {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // the per-superstep broadcast is an n-double rank vector — high-entropy
+      // doubles don't compress, so lz4 on the 32 MB payload is pure serial
+      // driver cost on every superstep (guide §2.3: measure, don't assume)
+      .config("spark.broadcast.compress", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", graft.util.FastLocalDir.sparkLocalDir)
       .getOrCreate()
