@@ -42,10 +42,25 @@ import graft.graph.LinkGraph
   */
 object LabelPropagation {
 
+  /** Below this bound on the folded edge set (≤ 2|E| undirected entries at
+    * 24 B each) the supersteps run DRIVER-RESIDENT: one collect of the cached
+    * folded edges, a local undirected fold, and k array/hash passes — the
+    * same labels as the distributed loop (vote sums are commutative per pair
+    * and exact for fold-multiplicity weights; the argmax tie-break is the
+    * identical (w, smallest-label) order) without paying 3 exchanges per
+    * superstep for sub-second work. Same regime split as
+    * PageRankEngine.BroadcastThresholdBytes; a 100 TB graph takes the
+    * distributed loop. Mutable test hook — set 0 to force distributed.
+    */
+  var ResidentEdgeBytes: Long = 64L * 1024 * 1024
+
   /** Returns (vid, label) after `iterations` synchronous supersteps. */
   def run(graph: LinkGraph, iterations: Int = 10, pinEvery: Int = 1): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
+
+    if (graph.numEdges * 48 < ResidentEdgeBytes && graph.numVertices <= Int.MaxValue.toLong)
+      return residentRun(graph, iterations)
 
     val p = math.max(1, spark.sparkContext.defaultParallelism)
     // ONE exchange builds the undirected fold in join-key layout: the
@@ -103,5 +118,102 @@ object LabelPropagation {
     }
     und.unpersist()
     labels
+  }
+
+  /** Driver-resident supersteps. Semantics mirror the distributed loop
+    * exactly: undirected fold with per-pair weight sums (commutative — at
+    * most two directed contributions per pair), aggregate weights ≤ 0
+    * dropped, a weight-0 self-vote per vertex, and the weighted mode with
+    * ties to the smallest label.
+    */
+  private def residentRun(graph: LinkGraph, iterations: Int): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val n = graph.numVertices.toInt
+
+    // local undirected fold of the collected folded edges
+    val raw = graph.edges.collect()
+    val undMap = new java.util.HashMap[Long, java.lang.Double]()
+    raw.foreach { e =>
+      val k1 = e.src * graph.numVertices + e.dst
+      val k2 = e.dst * graph.numVertices + e.src
+      undMap.merge(k1, e.weight, (a, b) => a + b)
+      undMap.merge(k2, e.weight, (a, b) => a + b)
+      ()
+    }
+    // CSR keyed by the receiving vertex (votes flow src-label -> dst)
+    val kept = new Array[Long](undMap.size())
+    val keptW = new Array[Double](undMap.size())
+    var m = 0
+    val entries = undMap.entrySet().iterator()
+    while (entries.hasNext) {
+      val ent = entries.next()
+      val w = ent.getValue.doubleValue()
+      if (w > 0) { kept(m) = ent.getKey.longValue(); keptW(m) = w; m += 1 }
+    }
+    val deg = new Array[Int](n + 1)
+    var i = 0
+    while (i < m) { deg(((kept(i) / graph.numVertices)).toInt + 1) += 1; i += 1 }
+    i = 0
+    while (i < n) { deg(i + 1) += deg(i); i += 1 }
+    val srcArr = new Array[Int](m)
+    val wArr = new Array[Double](m)
+    val fill = java.util.Arrays.copyOf(deg, n)
+    i = 0
+    while (i < m) {
+      val dst = (kept(i) / graph.numVertices).toInt
+      val src = (kept(i) % graph.numVertices).toInt
+      val p = fill(dst)
+      srcArr(p) = src
+      wArr(p) = keptW(i)
+      fill(dst) = p + 1
+      i += 1
+    }
+
+    var labels = new Array[Long](n)
+    i = 0
+    while (i < n) { labels(i) = i.toLong; i += 1 }
+    val sums = new java.util.HashMap[Long, java.lang.Double]()
+    var k = 0
+    while (k < iterations) {
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        sums.clear()
+        sums.put(labels(v), 0.0) // self-vote
+        var j = deg(v)
+        val end = deg(v + 1)
+        while (j < end) {
+          sums.merge(labels(srcArr(j)), wArr(j), (a, b) => a + b)
+          j += 1
+        }
+        var bestW = Double.NegativeInfinity
+        var bestL = Long.MaxValue
+        val it = sums.entrySet().iterator()
+        while (it.hasNext) {
+          val ent = it.next()
+          val w = ent.getValue.doubleValue()
+          val l = ent.getKey.longValue()
+          if (w > bestW || (w == bestW && l < bestL)) { bestW = w; bestL = l }
+        }
+        next(v) = bestL
+        v += 1
+      }
+      labels = next
+      k += 1
+    }
+
+    val b = spark.sparkContext.broadcast(labels)
+    val out = spark
+      .range(n.toLong)
+      .as[Long]
+      .mapPartitions { it =>
+        val l = b.value
+        it.map(v => (v, l(v.toInt)))
+      }
+      .toDF("vid", "label")
+    val (pinned, _) = graft.graph.Lineage.pin(out)
+    b.destroy()
+    pinned
   }
 }

@@ -142,18 +142,15 @@ object NetworkAnalytics {
     val nnz = graph.numEdges // distinct (src,dst) pairs = G.nnz
     val n = graph.numVertices
 
-    // thresholds + medians: one ValueDist per column over the CACHED degree
-    // table (degreeTable has exactly n rows — the count job is skipped), each
-    // serving both of its probes from one pass
-    val distOut = ValueDist.of(deg, "outDeg", knownN = Some(n))
+    // thresholds + medians: ONE fused distribution job over the CACHED degree
+    // table serves all three columns (degreeTable has exactly n rows — the
+    // count job is skipped), each dist then serving both of its probes
+    val Seq(distOut, distIn, distTot) =
+      ValueDist.ofColumns(deg, Seq("outDeg", "inDeg", "totalDeg"), knownN = n)
     val Seq(p90out, medOut) = distOut.percentiles(Seq(0.9, 0.5))
-    distOut.release()
-    val distIn = ValueDist.of(deg, "inDeg", knownN = Some(n))
     val Seq(p90in, medIn) = distIn.percentiles(Seq(0.9, 0.5))
-    distIn.release()
-    val distTot = ValueDist.of(deg, "totalDeg", knownN = Some(n))
     val p95tot = distTot.percentile(0.95)
-    distTot.release()
+    distOut.release(); distIn.release(); distTot.release()
 
     deg.agg(
       lit(n).as("total_providers"),
@@ -304,11 +301,13 @@ object NetworkAnalytics {
       .join(ranks.select($"vid", $"value".as("score")), Seq("vid"), "left")
       .na.fill(0.0, Seq("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // left join on the full vertex table keeps exactly numVertices rows
-    val n = Some(graph.numVertices)
-    val hubThr = { val d = ValueDist.of(joined, "outDeg", knownN = n); val t = d.percentile(0.9); d.release(); t }
-    val authThr = { val d = ValueDist.of(joined, "inDeg", knownN = n); val t = d.percentile(0.9); d.release(); t }
-    val centThr = { val d = ValueDist.of(joined, "score", knownN = n); val t = d.percentile(0.9); d.release(); t }
+    // left join on the full vertex table keeps exactly numVertices rows;
+    // one fused distribution job answers all three thresholds
+    val Seq(dHub, dAuth, dCent) =
+      ValueDist.ofColumns(joined, Seq("outDeg", "inDeg", "score"), knownN = graph.numVertices)
+    val hubThr = { val t = dHub.percentile(0.9); dHub.release(); t }
+    val authThr = { val t = dAuth.percentile(0.9); dAuth.release(); t }
+    val centThr = { val t = dCent.percentile(0.9); dCent.release(); t }
     // pin the (≤ 3n/10-row) result BEFORE dropping the scratch cache — round 3
     // unpersisted first, so every later consumption re-ran the degree⋈ranks
     // join; the pin is reclaimed by the ContextCleaner when unreferenced

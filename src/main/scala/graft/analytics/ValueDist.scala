@@ -1,5 +1,7 @@
 package graft.analytics
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -143,6 +145,64 @@ object ValueDist {
     *                `require(acc == n)` trips loudly on a wrong value.
     * @param forceDistributed  test hook: exercise the distributed regime at any n.
     */
+  /** Build the distributions of SEVERAL columns of one frame in a single job.
+    *
+    * The driver-local regime's per-column build is one `groupBy(col).count`
+    * job each; callers probing three columns of the same cached frame (e.g.
+    * networkMetrics over in/out/total degree) paid three scans. Here one
+    * mapPartitions pass builds a (value → count) map per column and the
+    * driver merges partition maps — identical counts, identical sorted
+    * arrays, so every percentile is bit-identical to the per-column build.
+    *
+    * Only valid when the per-column distinct counts are collectable, so the
+    * caller must pass the exact row count and it must be ≤
+    * [[MaxLocalDistinct]] (distinct ≤ rows needs no probe); otherwise this
+    * falls back to independent [[of]] builds per column.
+    */
+  def ofColumns(
+      df: DataFrame,
+      valueCols: Seq[String],
+      knownN: Long
+  ): Seq[ValueDist] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (knownN > MaxLocalDistinct) return valueCols.map(c => of(df, c, Some(knownN)))
+    val k = valueCols.length
+    val perPartition = df
+      .select(valueCols.map(c => col(c).cast("double")): _*)
+      .mapPartitions { rows =>
+        val maps = Array.fill(k)(new java.util.HashMap[Double, Long]())
+        rows.foreach { r =>
+          var i = 0
+          while (i < k) {
+            if (!r.isNullAt(i)) maps(i).merge(r.getDouble(i), 1L, (a, b) => a + b)
+            i += 1
+          }
+        }
+        if (maps.exists(!_.isEmpty))
+          Iterator.single(maps.map(m => m.entrySet().iterator().asScala
+            .map(e => (e.getKey.doubleValue(), e.getValue.longValue())).toArray))
+        else Iterator.empty
+      }(org.apache.spark.sql.Encoders.kryo[Array[Array[(Double, Long)]]])
+      .collect()
+    valueCols.indices.map { i =>
+      val merged = new java.util.HashMap[Double, Long]()
+      perPartition.foreach(_(i).foreach { case (v, c) =>
+        merged.merge(v, c, (a, b) => a + b); ()
+      })
+      val pairs = merged.entrySet().iterator().asScala
+        .map(e => (e.getKey.doubleValue(), e.getValue.longValue())).toArray
+        .sortBy(_._1)
+      val vs = pairs.map(_._1)
+      val cum = new Array[Long](pairs.length)
+      var acc = 0L
+      var j = 0
+      while (j < pairs.length) { acc += pairs(j)._2; cum(j) = acc; j += 1 }
+      require(acc == knownN, s"distinct-count sum $acc != expected n $knownN for ${valueCols(i)}")
+      new ValueDist(knownN, spark, Some((vs, cum)), None)
+    }
+  }
+
   def of(
       df: DataFrame,
       valueCol: String,

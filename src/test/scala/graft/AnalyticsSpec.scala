@@ -217,4 +217,22 @@ class AnalyticsSpec extends GraftSuite {
     assert(m.getAs[Long]("isolated_providers") == 0)
     g.unpersistAll()
   }
+
+  test("ValueDist.ofColumns: fused multi-column build matches per-column builds") {
+    import spark.implicits._
+    // ties, negatives, and several partitions — the fused single-job build
+    // must produce bit-identical percentiles to three independent builds
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(5000)(i =>
+      (rng.nextInt(40).toDouble - 20.0, rng.nextDouble() * 10.0, (i % 17).toDouble))
+    val df = rows.toDF("a", "b", "c").repartition(7)
+    val fused = ValueDist.ofColumns(df, Seq("a", "b", "c"), knownN = rows.length.toLong)
+    val single = Seq("a", "b", "c").map(c => ValueDist.of(df, c, Some(rows.length.toLong)))
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.95, 0.99, 1.0)
+    fused.zip(single).foreach { case (f, s) =>
+      val fp = f.percentiles(ps)
+      val sp = s.percentiles(ps)
+      fp.zip(sp).foreach { case (x, y) => assert(x == y, s"fused $x != single $y") }
+    }
+  }
 }

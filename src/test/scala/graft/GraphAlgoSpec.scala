@@ -174,4 +174,34 @@ class GraphAlgoSpec extends GraftSuite {
     assert(run() == run())
     g.unpersistAll()
   }
+
+  test("CC driver-resident regime matches the star-contraction labels exactly") {
+    val edges = DenseReference.randomEdges(120, 0.02, seed = 23).map(e => (e._1.toLong, e._2.toLong))
+    val g = graphOf(edges)
+    def labelsOf() =
+      ConnectedComponents.run(g).collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val resident = labelsOf() // default gate: resident at this size
+    val was = ConnectedComponents.ResidentEdgeBytes
+    ConnectedComponents.ResidentEdgeBytes = 0L
+    try {
+      val distributed = labelsOf()
+      assert(resident == distributed)
+    } finally ConnectedComponents.ResidentEdgeBytes = was
+    g.unpersistAll()
+  }
+
+  test("LPA driver-resident regime matches the distributed supersteps exactly") {
+    val edges = DenseReference.randomEdges(60, 0.08, seed = 31).map(e => (e._1.toLong, e._2.toLong))
+    val g = graphOf(edges)
+    def labelsOf() =
+      LabelPropagation.run(g, 4).collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val resident = labelsOf()
+    val was = LabelPropagation.ResidentEdgeBytes
+    LabelPropagation.ResidentEdgeBytes = 0L
+    try {
+      val distributed = labelsOf()
+      assert(resident == distributed)
+    } finally LabelPropagation.ResidentEdgeBytes = was
+    g.unpersistAll()
+  }
 }
