@@ -69,15 +69,14 @@ object ConnectedComponents {
     // handling at cluster scale — so AQE stays ON here, with the join
     // strategy pinned by the explicit size-gated hints above)
 
-    val orig = graph.edges
-      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
-      .filter($"u" =!= $"v")
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val origCount = orig.count()
-
-    if (origCount * 16 < ResidentEdgeBytes && graph.numVertices <= Int.MaxValue.toLong) {
-      val labels = residentLabels(graph, orig.as[(Long, Long)].collect())
+    // Resident regime decides from the (already counted) FOLDED edge cache —
+    // union-find is insensitive to duplicates, orientation and self-loops, so
+    // the undirected-dedup exchange the distributed path needs is pure setup
+    // cost here (guide §2.4): one collect of the cached edge frame replaces
+    // distinct + persist + count + collect. The folded count bounds the
+    // undirected count from above, so the gate is (slightly) conservative.
+    if (graph.numEdges * 16 < ResidentEdgeBytes && graph.numVertices <= Int.MaxValue.toLong) {
+      val labels = residentLabels(graph, graph.edges.collect())
       val b = spark.sparkContext.broadcast(labels)
       val out = spark
         .range(graph.numVertices)
@@ -89,9 +88,15 @@ object ConnectedComponents {
         .toDF("vid", "label")
       val (pinned, _) = Lineage.pin(out)
       b.destroy()
-      orig.unpersist()
       return pinned
     }
+
+    val orig = graph.edges
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val origCount = orig.count()
 
     var (cur, freeCur) = Lineage.pin(orig.toDF())
     var labels: DataFrame = null
@@ -189,7 +194,7 @@ object ConnectedComponents {
     * The fixpoint certificate survives as a driver-side pass: every edge's
     * endpoints must share a label, or we throw rather than return.
     */
-  private def residentLabels(graph: LinkGraph, edges: Array[(Long, Long)]): Array[Long] = {
+  private def residentLabels(graph: LinkGraph, edges: Array[graft.model.Edge]): Array[Long] = {
     val n = graph.numVertices.toInt
     val parent = new Array[Int](n)
     var i = 0
@@ -203,11 +208,14 @@ object ConnectedComponents {
     }
     var e = 0
     while (e < edges.length) {
-      val (u, v) = edges(e)
-      val ru = find(u.toInt)
-      val rv = find(v.toInt)
-      if (ru != rv) {
-        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      val u = edges(e).src.toInt
+      val v = edges(e).dst.toInt
+      if (u != v) {
+        val ru = find(u)
+        val rv = find(v)
+        if (ru != rv) {
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
       }
       e += 1
     }
@@ -217,9 +225,11 @@ object ConnectedComponents {
     // definitive certificate, same property the distributed path proves
     e = 0
     while (e < edges.length) {
-      val (u, v) = edges(e)
-      if (labels(u.toInt) != labels(v.toInt))
-        throw new IllegalStateException(s"cc resident labeling violates edge ($u, $v)")
+      val u = edges(e).src.toInt
+      val v = edges(e).dst.toInt
+      if (labels(u) != labels(v))
+        throw new IllegalStateException(
+          s"cc resident labeling violates edge (${edges(e).src}, ${edges(e).dst})")
       e += 1
     }
     labels

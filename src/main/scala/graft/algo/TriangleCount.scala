@@ -22,6 +22,126 @@ import graft.graph.LinkGraph
   */
 object TriangleCount {
 
+  /** Below this bound on the folded edge cache (16 B/edge) the count runs
+    * DRIVER-RESIDENT: one collect of the cached edges, local dedup + degree
+    * orientation + sorted-adjacency wedge closing. Counts are integers, so the
+    * result is EXACTLY the distributed plan's (same triangles, same corners) —
+    * the same regime split as ConnectedComponents.ResidentEdgeBytes; a 100 TB
+    * graph takes the self-join path. Mutable test hook — 0 forces distributed.
+    */
+  var ResidentEdgeBytes: Long = 64L * 1024 * 1024
+
+  private def residentOk(graph: LinkGraph): Boolean =
+    graph.numEdges * 16 < ResidentEdgeBytes && graph.numVertices <= Int.MaxValue.toLong
+
+  /** (triangles, undirected simple degree) per vertex, driver-resident.
+    * Mirrors the distributed plan exactly: dedup to u<v simple edges, orient
+    * each edge from the smaller (degree, vid) endpoint, close every wedge
+    * (y1 < y2 ∈ N⁺(x)) against the undirected edge set, and credit all three
+    * corners of each triangle once.
+    */
+  private def residentData(graph: LinkGraph): (Array[Long], Array[Long]) = {
+    val n = graph.numVertices.toInt
+    val raw = graph.edges.collect()
+    // undirected simple edges packed (u << 32 | v), u < v, sorted + deduped
+    val packed = new Array[Long](raw.length)
+    var m = 0
+    var i = 0
+    while (i < raw.length) {
+      val s = raw(i).src
+      val d = raw(i).dst
+      if (s != d) {
+        val u = math.min(s, d)
+        val v = math.max(s, d)
+        packed(m) = (u << 32) | v
+        m += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(packed, 0, m)
+    var k = 0
+    i = 0
+    while (i < m) {
+      if (k == 0 || packed(i) != packed(k - 1)) { packed(k) = packed(i); k += 1 }
+      i += 1
+    }
+    val deg = new Array[Long](n)
+    i = 0
+    while (i < k) {
+      deg((packed(i) >>> 32).toInt) += 1
+      deg((packed(i) & 0xffffffffL).toInt) += 1
+      i += 1
+    }
+    // orient from the smaller (deg, vid) endpoint: O(sqrt m) out-degrees
+    def lower(u: Int, v: Int): Boolean = deg(u) < deg(v) || (deg(u) == deg(v) && u < v)
+    val outDeg = new Array[Int](n)
+    i = 0
+    while (i < k) {
+      val u = (packed(i) >>> 32).toInt
+      val v = (packed(i) & 0xffffffffL).toInt
+      if (lower(u, v)) outDeg(u) += 1 else outDeg(v) += 1
+      i += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+    val nbr = new Array[Int](k)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < k) {
+      val u = (packed(i) >>> 32).toInt
+      val v = (packed(i) & 0xffffffffL).toInt
+      if (lower(u, v)) { nbr(fill(u)) = v; fill(u) += 1 }
+      else { nbr(fill(v)) = u; fill(v) += 1 }
+      i += 1
+    }
+    // merge-intersect N⁺(x) with N⁺(y) per oriented edge (compact-forward):
+    // the apex of every triangle under the acyclic (deg, vid) orientation has
+    // out-edges to both others, so each triangle is found exactly once — the
+    // same triangle set (and hence the same integer corner counts) as the
+    // wedge self-join, at O(Σ d⁺(x)+d⁺(y)) instead of O(Σ d⁺²) probes.
+    val tri = new Array[Long](n)
+    var x = 0
+    while (x < n) {
+      var a = off(x)
+      val endX = off(x + 1)
+      while (a < endX) {
+        val y = nbr(a)
+        var i1 = off(x)
+        var i2 = off(y)
+        val e2 = off(y + 1)
+        while (i1 < endX && i2 < e2) {
+          val v1 = nbr(i1)
+          val v2 = nbr(i2)
+          if (v1 < v2) i1 += 1
+          else if (v2 < v1) i2 += 1
+          else { tri(x) += 1; tri(y) += 1; tri(v1) += 1; i1 += 1; i2 += 1 }
+        }
+        a += 1
+      }
+      x += 1
+    }
+    (tri, deg)
+  }
+
+  private def broadcastVertexFrame(
+      graph: LinkGraph, arr: Array[Long], col2: String): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(arr)
+    val out = spark
+      .range(graph.numVertices)
+      .as[Long]
+      .mapPartitions { it =>
+        val a = b.value
+        it.map(v => (v, a(v.toInt)))
+      }
+      .toDF("vid", col2)
+    val (pinned, _) = graft.graph.Lineage.pin(out)
+    b.destroy()
+    pinned
+  }
+
   /** Undirected simple edges (u < v), one row each. */
   def undirectedEdges(graph: LinkGraph): DataFrame = {
     val spark = graph.spark
@@ -77,6 +197,8 @@ object TriangleCount {
   def perVertexTriangles(graph: LinkGraph): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
+    if (residentOk(graph))
+      return broadcastVertexFrame(graph, residentData(graph)._1, "triangles")
     val tris = perEdgeTriangles(graph)
     val corners = tris.select($"a".as("vid"))
       .union(tris.select($"b".as("vid")))
@@ -95,6 +217,30 @@ object TriangleCount {
   def clusteringCoefficients(graph: LinkGraph): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
+    if (residentOk(graph)) {
+      val (tri, degArr) = residentData(graph)
+      val bt = spark.sparkContext.broadcast(tri)
+      val bd = spark.sparkContext.broadcast(degArr)
+      val out = spark
+        .range(graph.numVertices)
+        .as[Long]
+        .mapPartitions { it =>
+          val t = bt.value
+          val d = bd.value
+          it.map { v =>
+            val vi = v.toInt
+            // identical op sequence to the Catalyst expression below:
+            // 2.0 · T (widen) / (deg·(deg−1) widened), 0.0 below deg 2
+            val coeff =
+              if (d(vi) >= 2) 2.0 * t(vi) / (d(vi) * (d(vi) - 1)).toDouble else 0.0
+            (v, t(vi), d(vi), coeff)
+          }
+        }
+        .toDF("vid", "triangles", "deg", "clustering_coeff")
+      val (pinned, _) = graft.graph.Lineage.pin(out)
+      bt.destroy(); bd.destroy()
+      return pinned
+    }
     val und = undirectedEdges(graph)
     val deg = und
       .select($"u".as("vid"))

@@ -186,16 +186,24 @@ object NetworkAnalytics {
     val withComponents = deg
       .withColumn("imb", when($"inDeg" > 0, $"outDeg" / ($"inDeg" + lit(1e-10))).otherwise($"outDeg"))
       .withColumn("iso", lit(1.0) / (lit(1.0) + $"totalDeg"))
-    val maxes = withComponents
+    // maxes as DRIVER LITERALS: max() is order-insensitive (exact), and with
+    // the scalars known at plan time the when()-branch resolves statically —
+    // same per-row arithmetic (1/3 · c/max, or 1/3 · 0.0) as the previous
+    // crossJoin(broadcast(maxes)) shape, minus one broadcast-exchange job and
+    // a join in every downstream evaluation of the prior's plan (guide §2.4).
+    val mrow = withComponents
       .agg(max($"totalDeg").as("mT"), max($"imb").as("mI"), max($"iso").as("mO"))
+      .first()
+    def mx(i: Int): Double = if (mrow.isNullAt(i)) 0.0 else mrow.getDouble(i)
+    def term(c: Column, m: Double): Column =
+      if (m > 0) lit(1.0 / 3) * (c / lit(m)) else lit(1.0 / 3) * lit(0.0)
     val scored = withComponents
-      .crossJoin(broadcast(maxes))
       .select(
         $"vid",
         (lit(0.001)
-          + lit(1.0 / 3) * when($"mT" > 0, $"totalDeg" / $"mT").otherwise(0.0)
-          + lit(1.0 / 3) * when($"mI" > 0, $"imb" / $"mI").otherwise(0.0)
-          + lit(1.0 / 3) * when($"mO" > 0, $"iso" / $"mO").otherwise(0.0)).as("raw"))
+          + term($"totalDeg", mx(0))
+          + term($"imb", mx(1))
+          + term($"iso", mx(2))).as("raw"))
     // pin the scored frame ONCE: the returned prior is consumed repeatedly
     // (the total below, the engine's normalization sum, its chunking pass,
     // risk statistics…) and every consumption used to replay the maxes

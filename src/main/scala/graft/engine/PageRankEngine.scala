@@ -90,7 +90,13 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     */
   @volatile private var ran = false
 
-  def run(): PageRankOutcome = runFrom(initialVector(), 0)
+  /** The resident regime builds its initial vector as a driver array (null
+    * start marker) — the uniform / normalized-prior values are per-element
+    * identical to collecting the chunked dataset, without the chunking
+    * shuffle + pin + collect jobs that dominated sub-second runs.
+    */
+  def run(): PageRankOutcome =
+    if (driverResident) runFrom(null, 0) else runFrom(initialVector(), 0)
 
   /** Resume from the newest durable checkpoint under cfg.checkpointDir. */
   def resume(): PageRankOutcome = {
@@ -254,12 +260,45 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     val nv = n
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetrics]
 
-    var x = new Array[Double](n.toInt)
-    start.collect().foreach(c => System.arraycopy(c.values, 0, x, c.loVid.toInt, c.values.length))
-    start.unpersist()
+    // Normalized prior as a driver array (risk mode, fresh runs): the Spark
+    // aggregation computing `total` is the SAME plan normalizedPriorChunks
+    // runs (identical partition-merge order → identical total), and the
+    // per-element division is the identical IEEE op — so x₀ and delta match
+    // the chunked path bit-for-bit while skipping its chunking shuffle + pin.
+    lazy val priorArr: Array[Double] = {
+      val prior = cfg.prior.filter(_ != null).getOrElse(
+        throw new IllegalArgumentException("RiskPropagation requires cfg.prior (vid, value)"))
+      val total = prior.agg(sum($"value")).first().getDouble(0)
+      val arr = new Array[Double](n.toInt)
+      prior
+        .select($"vid".cast("long"), ($"value" / lit(total)).as("v"))
+        .as[(Long, Double)]
+        .collect()
+        .foreach { case (vid, v) => arr(vid.toInt) = v }
+      arr
+    }
+
+    var x =
+      if (start != null) {
+        val arr = new Array[Double](n.toInt)
+        start.collect().foreach(c => System.arraycopy(c.values, 0, arr, c.loVid.toInt, c.values.length))
+        start.unpersist()
+        arr
+      } else cfg.mode match {
+        case PageRankMode.RiskPropagation => priorArr
+        case _ => Array.fill(n.toInt)(1.0 / n) // x = ones(n)/n (pagerank.py:180)
+      }
 
     // mode-constant driver vectors
     val deltaVec: Array[Double] = cfg.mode match {
+      case PageRankMode.RiskPropagation if start == null =>
+        // delta = (1−d)·normalizedPrior, derived element-wise from the local
+        // prior (identical arithmetic to deltaRdd's map)
+        val scale = 1.0 - d
+        val dv = new Array[Double](n.toInt)
+        var i = 0
+        while (i < dv.length) { dv(i) = priorArr(i) * scale; i += 1 }
+        dv
       case PageRankMode.RiskPropagation =>
         val dv = new Array[Double](n.toInt)
         deltaRdd.collect().foreach(c => System.arraycopy(c.values, 0, dv, c.loVid.toInt, c.values.length))
@@ -274,6 +313,15 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
       case _ => null
     }
 
+    // Driver-local kernel (guide §1.2: the cheapest superstep for a graph this
+    // size is NO job at all): below the gate the src-major parts are collected
+    // once and every gather runs as a driver loop — same parts, same slice
+    // arithmetic, same slice-accumulation order as the cluster path, so gx is
+    // bit-identical. Above the gate (e.g. the 4M×80M kernel bench) the
+    // broadcast+map+collect job amortizes its dispatch over real work.
+    val localParts: Array[AdjPart] =
+      if (graph.numEdges * 16 < PageRankEngine.LocalGatherBytes) graph.gatherPartsLocal else null
+
     var iteration = startIter
     var converged = false
     var error = Double.MaxValue
@@ -287,38 +335,43 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
       val iterJit0 = graft.util.HostProbe.jitSec()
       listener.snapshot()
 
-      // one shuffle-free job: broadcast x; each src-major part GATHERS its own
-      // output slice (gx[i] = Σ wNorm · x[dst]) — tasks never share output, so
-      // there is no cross-task combine stage at all; the driver adds the
-      // (block-aligned, possibly split) slices into gx. Collect volume = n
-      // doubles total, independent of parallelism.
-      val phaseT0 = System.nanoTime()
-      val bcast: Broadcast[Array[Double]] = sc.broadcast(x)
-      val phaseT1 = System.nanoTime()
-      val slices = graph.gatherPartsRdd
-        .map { part =>
-          val xs = bcast.value
-          val lo = part.blockId.toLong * bs
-          val len = math.min(bs, nv - lo).toInt
-          val out = new Array[Double](len)
-          PageRankEngine.gatherSlice(part, xs, out)
-          RankChunk(part.blockId, lo, out)
+      val gx =
+        if (localParts != null) PageRankEngine.localGather(localParts, x, n.toInt, bs, nv)
+        else {
+          // one shuffle-free job: broadcast x; each src-major part GATHERS its
+          // own output slice (gx[i] = Σ wNorm · x[dst]) — tasks never share
+          // output, so there is no cross-task combine stage at all; the driver
+          // adds the (block-aligned, possibly split) slices into gx. Collect
+          // volume = n doubles total, independent of parallelism.
+          val phaseT0 = System.nanoTime()
+          val bcast: Broadcast[Array[Double]] = sc.broadcast(x)
+          val phaseT1 = System.nanoTime()
+          val slices = graph.gatherPartsRdd
+            .map { part =>
+              val xs = bcast.value
+              val lo = part.blockId.toLong * bs
+              val len = math.min(bs, nv - lo).toInt
+              val out = new Array[Double](len)
+              PageRankEngine.gatherSlice(part, xs, out)
+              RankChunk(part.blockId, lo, out)
+            }
+            .collect()
+          val phaseT2 = System.nanoTime()
+          bcast.destroy()
+          val g = new Array[Double](n.toInt)
+          slices.foreach { s =>
+            var i = 0
+            val base = s.loVid.toInt
+            while (i < s.values.length) { g(base + i) += s.values(i); i += 1 }
+          }
+          if (PageRankEngine.debug)
+            System.err.println(
+              f"[graft] resident phases: bcast ${(phaseT1 - phaseT0) / 1e6}%.1f ms, " +
+                f"job+collect ${(phaseT2 - phaseT1) / 1e6}%.1f ms, " +
+                f"combine ${(System.nanoTime() - phaseT2) / 1e6}%.1f ms")
+          g
         }
-        .collect()
-      val phaseT2 = System.nanoTime()
-      bcast.destroy()
-      val gx = new Array[Double](n.toInt)
-      slices.foreach { s =>
-        var i = 0
-        val base = s.loVid.toInt
-        while (i < s.values.length) { gx(base + i) += s.values(i); i += 1 }
-      }
       val phaseT3 = System.nanoTime()
-      if (PageRankEngine.debug)
-        System.err.println(
-          f"[graft] resident phases: bcast ${(phaseT1 - phaseT0) / 1e6}%.1f ms, " +
-            f"job+collect ${(phaseT2 - phaseT1) / 1e6}%.1f ms, " +
-            f"combine ${(phaseT3 - phaseT2) / 1e6}%.1f ms")
 
       // Driver-side update in the reference's exact operation order — in
       // SMALL static methods, not inline: runResident exceeds HotSpot's
@@ -705,6 +758,36 @@ object PageRankEngine {
 
   /** Per-superstep stderr progress (env GRAFT_DEBUG). */
   val debug: Boolean = sys.env.contains("GRAFT_DEBUG")
+
+  /** Below this bound on the folded edge set (~16 B/edge of adjacency) the
+    * resident regime's gather runs as a DRIVER loop over once-collected parts
+    * instead of a per-superstep broadcast + job + collect: at contract scale a
+    * superstep's wall was ≥ 90% fixed job dispatch. Values are bit-identical
+    * (same parts, same slice order). Mutable test hook — 0 forces the job path.
+    */
+  var LocalGatherBytes: Long = 64L * 1024 * 1024
+
+  /** Driver twin of the resident superstep's map + collect + combine: one
+    * zeroed slice per part, [[gatherSlice]] into it, then add into gx in part
+    * order — the identical floating-point sequence the cluster path performs.
+    */
+  private[engine] def localGather(
+      parts: Array[AdjPart], xs: Array[Double], n: Int, bs: Long, nv: Long): Array[Double] = {
+    val gx = new Array[Double](n)
+    var pi = 0
+    while (pi < parts.length) {
+      val part = parts(pi)
+      val lo = part.blockId.toLong * bs
+      val len = math.min(bs, nv - lo).toInt
+      val out = new Array[Double](len)
+      gatherSlice(part, xs, out)
+      val base = lo.toInt
+      var i = 0
+      while (i < len) { gx(base + i) += out(i); i += 1 }
+      pi += 1
+    }
+    gx
+  }
 
   /** Per-task scratch budget for the distributed superstep's contribution
     * slabs; exceeding it flushes partial slabs to the shuffle (correct —

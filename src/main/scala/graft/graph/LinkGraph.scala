@@ -174,6 +174,15 @@ final class LinkGraph(
     rdd
   }
 
+  /** Src-major parts COLLECTED to the driver once (the driver-local kernel's
+    * input, gated by PageRankEngine.LocalGatherBytes): collect order equals
+    * [[gatherPartsRdd]]'s partition order, so a driver loop that accumulates
+    * per-part slices in array order reproduces the cluster path's gx sums
+    * bit-for-bit. The parts carry the SAME wNorm values the distributed
+    * pipeline computed — only the per-superstep execution moves.
+    */
+  lazy val gatherPartsLocal: Array[AdjPart] = gatherPartsRdd.collect()
+
   def blockOf(vid: Long): Int = (vid / blockSize).toInt
 
   /** Uniform initial rank chunks x = 1/n (pagerank.py:180). */
@@ -315,6 +324,15 @@ object LinkGraph {
   /** Cap on edges per adjacency part — bounds single-task work under skew. */
   val MaxEdgesPerPart: Int = 2 << 20
 
+  /** Below this bound on the folded edge frame (~24 B/row) the vertex
+    * dictionary of [[fromFoldedEdgeList]] is built DRIVER-RESIDENT from one
+    * partial-aggregated distinct job (same two-regime pattern as
+    * PageRankEngine.BroadcastThresholdBytes); the 100 TB path keeps the
+    * two-phase global-sort dictionary. The remap join is distributed in both
+    * regimes. Mutable test hook — set 0 to force the distributed build.
+    */
+  var ResidentBuildBytes: Long = 96L * 1024 * 1024
+
   /** Edge-budget target per block for the auto block count. */
   private val TargetEdgesPerBlock: Long = 64L * 1024
 
@@ -407,8 +425,39 @@ object LinkGraph {
         g
 
       case IdMode.Compacted =>
-        val dict = buildDictionary(spark, folded)
-        val n = dict.count() // already persisted by buildDictionary
+        val foldedCount = folded.count() // materializes the scoped cache once
+        val (dict, n) =
+          if (foldedCount * 24 < ResidentBuildBytes) {
+            // Driver-resident dictionary (guide §1.2 step 1: remove passes):
+            // one partial-aggregated distinct job collects the ≤ 2·|E| ids
+            // (the exchange carries only per-partition-distinct rows, never
+            // the 2|E| incidence frame the global-sort path sorts), the sort
+            // rank is assigned on the driver, and the n-row dictionary is
+            // parallelized back. Pure id plumbing — no floating-point
+            // arithmetic, so vid assignment (ascending-extId rank) and every
+            // downstream value are identical to buildDictionary's.
+            val idsArr = folded
+              .select($"src")
+              .union(folded.select($"dst"))
+              .distinct()
+              .as[Long]
+              .collect()
+            java.util.Arrays.sort(idsArr)
+            val mappings = new Array[VertexMapping](idsArr.length)
+            var i = 0
+            while (i < idsArr.length) {
+              mappings(i) = VertexMapping(idsArr(i), i.toLong); i += 1
+            }
+            val p = math.max(1, spark.sparkContext.defaultParallelism)
+            val d = spark.createDataset(spark.sparkContext.parallelize(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(mappings), p))
+            d.persist(StorageLevel.MEMORY_AND_DISK)
+            d.count()
+            (d, idsArr.length.toLong)
+          } else {
+            val d = buildDictionary(spark, folded)
+            (d, d.count()) // already persisted by buildDictionary
+          }
 
         val srcDict = dict.toDF("extId", "vid")
         val remapped = folded
@@ -417,12 +466,13 @@ object LinkGraph {
           .select($"srcVid".as("src"), $"dstVid".as("dst"), $"weight")
           .as[Edge]
 
-        val blocks = if (numBlocks > 0) numBlocks else autoBlocks(spark, n, folded.count())
+        val blocks = if (numBlocks > 0) numBlocks else autoBlocks(spark, n, foldedCount)
         val bs = (n + blocks - 1) / math.max(blocks, 1)
 
         val edges = remapped.persist(StorageLevel.MEMORY_AND_DISK)
-        val g = new LinkGraph(spark, dict, edges, n, blocks, math.max(bs, 1))
-        g.numEdges // materialize the edge cache while `folded` is still held
+        // inner joins on a complete dictionary keep every folded row
+        val g = new LinkGraph(spark, dict, edges, n, blocks, math.max(bs, 1), foldedCount)
+        edges.count() // materialize the edge cache while `folded` is still held
         g
     } finally folded.unpersist(false)
   }

@@ -60,10 +60,14 @@ object BenchExtra {
       def mark(): Unit = { j0 = jobs.get; s0 = stages.get; t0 = tasks.get }
       def sub(name: String, sec: Double): Unit =
         System.err.println(f"[extra] pass=$pass $name%-28s $sec%8.3f s")
+      var gc0 = graft.util.HostProbe.gcSec()
       def counters(name: String): Unit = {
+        val gc1 = graft.util.HostProbe.gcSec()
         System.err.println(
           s"[extra] pass=$pass counters $name jobs=${jobs.get - j0} " +
-            s"stages=${stages.get - s0} tasks=${tasks.get - t0}")
+            s"stages=${stages.get - s0} tasks=${tasks.get - t0} " +
+            f"gc=${gc1 - gc0}%.2f")
+        gc0 = gc1
         mark()
       }
       mark()

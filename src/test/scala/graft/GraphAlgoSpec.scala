@@ -190,6 +190,49 @@ class GraphAlgoSpec extends GraftSuite {
     g.unpersistAll()
   }
 
+  test("triangle driver-resident regime matches the distributed self-join exactly") {
+    val edges = DenseReference.randomEdges(120, 0.06, seed = 41).map(e => (e._1.toLong, e._2.toLong))
+    val g = graphOf(edges)
+    def triOf() = TriangleCount.perVertexTriangles(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    def ccOf() = TriangleCount.clusteringCoefficients(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val (triRes, ccRes) = (triOf(), ccOf()) // default gate: resident at this size
+    val was = TriangleCount.ResidentEdgeBytes
+    TriangleCount.ResidentEdgeBytes = 0L
+    try {
+      assert(triRes == triOf())
+      assert(ccRes == ccOf()) // exact incl. the double coeff: identical op sequence
+    } finally TriangleCount.ResidentEdgeBytes = was
+    g.unpersistAll()
+  }
+
+  test("driver-resident build finish produces the identical graph") {
+    val rng = new scala.util.Random(47)
+    // sparse external ids (gaps + duplicates) exercise dictionary compaction
+    val edges = Seq.fill(400)((rng.nextInt(5000).toLong * 7, rng.nextInt(5000).toLong * 7))
+    def build() = LinkGraph.fromEdgeList(spark, edges.toDF("src", "dst"))
+    val a = build() // default gate: resident finish
+    val was = LinkGraph.ResidentBuildBytes
+    LinkGraph.ResidentBuildBytes = 0L
+    val b = try build() finally LinkGraph.ResidentBuildBytes = was
+    assert(a.numVertices == b.numVertices && a.numBlocks == b.numBlocks)
+    def dictOf(g: LinkGraph) =
+      g.vertexDict.collect().map(m => (m.extId, m.vid)).sortBy(_._1).toSeq
+    def edgesOf(g: LinkGraph) =
+      g.edges.collect().map(e => (e.src, e.dst, e.weight)).sorted.toSeq
+    assert(dictOf(a) == dictOf(b))
+    assert(edgesOf(a) == edgesOf(b))
+    // ranks bit-identical through the whole downstream pipeline
+    val ra = PageRank.run(a, tolerance = 0.0, maxIterations = 6)
+    val rb = PageRank.run(b, tolerance = 0.0, maxIterations = 6)
+    val va = ra.toVertexDf(a).collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    val vb = rb.toVertexDf(b).collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(va.toSeq == vb.toSeq)
+    ra.free(); rb.free(); a.unpersistAll(); b.unpersistAll()
+  }
+
   test("LPA driver-resident regime matches the distributed supersteps exactly") {
     val edges = DenseReference.randomEdges(60, 0.08, seed = 31).map(e => (e._1.toLong, e._2.toLong))
     val g = graphOf(edges)

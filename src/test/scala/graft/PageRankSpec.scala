@@ -87,6 +87,32 @@ class PageRankSpec extends GraftSuite {
     } finally PageRankEngine.BroadcastThresholdBytes = saved
   }
 
+  test("driver-local gather matches the job-based resident kernel bit-for-bit") {
+    val saved = PageRankEngine.LocalGatherBytes
+    val n = 50
+    val rawPrior = Array.tabulate(n)(i => 0.001 + (i % 7) * 0.01)
+    def priorDf = rawPrior.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("vid", "value")
+    def runAll(): (Array[Double], Array[Double], Array[Double]) = {
+      val g = graphOf(rand50)
+      val a = ranksArray(g, PageRank.run(g, tolerance = 1e-10, maxIterations = 100))
+      val b = ranksArray(g, PageRank.runDangling(g, tolerance = 1e-10, maxIterations = 100))
+      val c = ranksArray(g, PageRank.propagateRisk(g, priorDf, tolerance = 1e-10, maxIterations = 100))
+      g.unpersistAll()
+      (a, b, c)
+    }
+    try {
+      val (r1, d1, k1) = runAll() // driver-local gather (edges tiny)
+      PageRankEngine.LocalGatherBytes = 0L // force the broadcast+job+collect path
+      val (r2, d2, k2) = runAll()
+      // EXACT equality, not allClose: the local gather replays the identical
+      // slice arithmetic and accumulation order, so every superstep — and
+      // hence every rank — must be bit-for-bit the job path's
+      assert(r1.toSeq == r2.toSeq)
+      assert(d1.toSeq == d2.toSeq)
+      assert(k1.toSeq == k2.toSeq)
+    } finally PageRankEngine.LocalGatherBytes = saved
+  }
+
   test("distributed superstep never moves the adjacency: shuffle volume is rank-sized") {
     // Dense-ish graph: avg degree 50, so edge volume >> vertex volume. If a
     // superstep re-shuffled (or sort-merge-joined) the adjacency, per-superstep
