@@ -37,6 +37,16 @@ final class LinkGraph(
   @volatile private[graft] var prebuiltDstParts: Option[org.apache.spark.rdd.RDD[AdjPart]] = None
   @volatile private[graft] var prebuiltGatherParts: Option[org.apache.spark.rdd.RDD[AdjPart]] = None
 
+  /** Stronger prebuilt hooks: parts that are ALREADY in the build's layout —
+    * partition b = block b's parts in (blockId, partId) assembler order, with
+    * [[blockPartitioner]]-compatible partitioning for the keyed variant.
+    * Skips the restore's partitionBy + sort entirely (the parquet path
+    * shuffled every adjacency byte once per leg); the supplier guarantees the
+    * layout (see graft.tools.PartIO.readLaidOut).
+    */
+  @volatile private[graft] var prebuiltDstPartsLaidOut: Option[org.apache.spark.rdd.RDD[(Int, AdjPart)]] = None
+  @volatile private[graft] var prebuiltGatherPartsLaidOut: Option[org.apache.spark.rdd.RDD[AdjPart]] = None
+
   lazy val numEdges: Long = if (knownNumEdges >= 0) knownNumEdges else edges.count()
 
   /** Weighted in-degree c[j] (the kernel's normalizer). Vertices absent here have
@@ -126,18 +136,21 @@ final class LinkGraph(
     */
   @volatile private var adjPartsByBlockBuilt = false
   lazy val adjPartsByBlock: org.apache.spark.rdd.RDD[(Int, AdjPart)] = {
-    val base = prebuiltDstParts.getOrElse(buildParts("dst", "src").rdd)
-    val rdd = base
-      .map(p => (p.blockId, p))
-      .partitionBy(blockPartitioner)
-      // prebuilt parts arrive in parquet-split order; restore the assembler's
-      // (blockId, partId) order so the scatter-add summation order — and hence
-      // every contribution slab's VALUES — matches a directly-built graph
-      // (ranks then agree to the accumulator-merge-order ulp; see the
-      // roundtrip test in ResumeAndSourcesSpec)
-      .mapPartitions(
-        it => it.toArray.sortBy(t => (t._2.blockId, t._2.partId)).iterator,
-        preservesPartitioning = true)
+    val rdd = prebuiltDstPartsLaidOut
+      .getOrElse {
+        val base = prebuiltDstParts.getOrElse(buildParts("dst", "src").rdd)
+        base
+          .map(p => (p.blockId, p))
+          .partitionBy(blockPartitioner)
+          // prebuilt parts arrive in parquet-split order; restore the assembler's
+          // (blockId, partId) order so the scatter-add summation order — and hence
+          // every contribution slab's VALUES — matches a directly-built graph
+          // (ranks then agree to the accumulator-merge-order ulp; see the
+          // roundtrip test in ResumeAndSourcesSpec)
+          .mapPartitions(
+            it => it.toArray.sortBy(t => (t._2.blockId, t._2.partId)).iterator,
+            preservesPartitioning = true)
+      }
       .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count()
     adjPartsByBlockBuilt = true
@@ -158,7 +171,7 @@ final class LinkGraph(
     */
   @volatile private var gatherPartsBuilt = false
   lazy val gatherPartsRdd: org.apache.spark.rdd.RDD[AdjPart] = {
-    val base = prebuiltGatherParts match {
+    val base = prebuiltGatherPartsLaidOut.getOrElse(prebuiltGatherParts match {
       case Some(pre) =>
         // restore the direct build's layout: partition b = block b's parts in
         // assembler order (parquet splits neither partition nor order them)
@@ -167,7 +180,7 @@ final class LinkGraph(
           .mapPartitions(it => it.toArray.sortBy(t => (t._2.blockId, t._2.partId)).iterator)
           .map(_._2)
       case None => buildParts("src", "dst").rdd
-    }
+    })
     val rdd = base.persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count()
     gatherPartsBuilt = true

@@ -66,7 +66,15 @@ object KernelBench {
     */
   private def stealSec(): Double = graft.util.HostProbe.stealSec()
 
+  /** Wall-clock phase attribution to stderr (setup dominated the leg wall by
+    * round 6; the JSON stays unchanged — these lines are forensics only).
+    */
+  private def phase(name: String): Unit =
+    System.err.println(
+      f"[kb-phase] $name at uptime ${java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0}%.2f s")
+
   def main(args: Array[String]): Unit = {
+    phase("main-entry")
     val cores = args(0).toInt
     val n = args(1).toLong
     val e = args(2).toLong
@@ -93,6 +101,7 @@ object KernelBench {
       .config("spark.local.dir", graft.util.FastLocalDir.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    phase("session-up")
 
     // block count is a property of the DATA layout, not of the cluster size:
     // comparing parallelism levels on the same input requires the same
@@ -117,13 +126,28 @@ object KernelBench {
             .getOrElse(throw new IllegalStateException(s"no $key in $base-meta.json")).group(1).toLong
         require(metaNum("n") == n && metaNum("blocks") == numBlocks,
           s"prep meta mismatch: $meta vs n=$n blocks=$numBlocks")
-        val dst =
-          if (regime == "distributed")
-            Some(spark.read.parquet(s"$base-adj-dst").as[graft.model.AdjPart]) else None
-        val src =
-          if (regime == "distributed") None
-          else Some(spark.read.parquet(s"$base-adj-src").as[graft.model.AdjPart])
-        LinkGraph.fromPrebuiltParts(spark, n, numBlocks, metaNum("folded_edges"), dst, src)
+        val dstBin = new java.io.File(s"$base-adj-dst-bin")
+        val srcBin = new java.io.File(s"$base-adj-src-bin")
+        if (regime == "distributed" && dstBin.isDirectory) {
+          // laid-out binary restore: no shuffle, no parquet decode (PartIO)
+          val g0 = LinkGraph.fromPrebuiltParts(spark, n, numBlocks, metaNum("folded_edges"))
+          g0.prebuiltDstPartsLaidOut =
+            Some(PartIO.readLaidOut(spark.sparkContext, dstBin.getAbsolutePath, numBlocks))
+          g0
+        } else if (regime != "distributed" && srcBin.isDirectory) {
+          val g0 = LinkGraph.fromPrebuiltParts(spark, n, numBlocks, metaNum("folded_edges"))
+          g0.prebuiltGatherPartsLaidOut =
+            Some(PartIO.readLaidOut(spark.sparkContext, srcBin.getAbsolutePath, numBlocks).values)
+          g0
+        } else {
+          val dst =
+            if (regime == "distributed")
+              Some(spark.read.parquet(s"$base-adj-dst").as[graft.model.AdjPart]) else None
+          val src =
+            if (regime == "distributed") None
+            else Some(spark.read.parquet(s"$base-adj-src").as[graft.model.AdjPart])
+          LinkGraph.fromPrebuiltParts(spark, n, numBlocks, metaNum("folded_edges"), dst, src)
+        }
       case None =>
         val folded0 = sys.env.get("KB_EDGES_PATH") match {
           case Some(p) => spark.read.parquet(p)
@@ -135,13 +159,17 @@ object KernelBench {
         }
         LinkGraph.fromDenseWeighted(spark, folded0.as[graft.model.Edge], n, numBlocks = numBlocks)
     }
+    phase("graph-defined")
     // build + cache the regime's adjacency layout before timing
     if (regime == "distributed") g.adjPartsByBlock.count() else g.gatherPartsRdd.count()
+    phase("adjacency-cached")
     val folded = g.numEdges
     val weather = memGbps() // DRAM weather snapshot, right before the timed region
+    phase("probe-done")
     val steal0 = stealSec()
     val classes0 = graft.util.HostProbe.loadedClasses()
     val out = PageRank.run(g, damping = 0.85, tolerance = 0.0, maxIterations = iters)
+    phase("supersteps-done")
     val classesPerStep = (graft.util.HostProbe.loadedClasses() - classes0) / math.max(1, iters)
     val steal1 = stealSec()
     // median superstep with warm-up excluded — a core-confined leg JIT-warms
@@ -195,6 +223,7 @@ object KernelBench {
         f""""mem_gbps":$weather%.2f,"steal_sec":${steal1 - steal0}%.2f,"steal_frac":$stealFrac%.3f,""" +
         f""""steps":$stepsJson,"steps_cpu":$stepsCpuJson,"steps_steal":$stepsStealJson,""" +
         f""""steps_gc":$stepsGcJson,"steps_jit":$stepsJitJson,"classes_per_step":$classesPerStep%.0f}"""
+    phase("teardown-start")
     println(line)
     // forensics trail: every leg appends its full JSON to the scratch root,
     // so a surprising bench artifact can be dissected per-superstep even

@@ -54,6 +54,12 @@ object KernelPrep {
       folded = g.numEdges
       g.adjParts.write.mode("overwrite").parquet(s"$outPath-adj-dst")
       g.gatherPartsRdd.toDS().write.mode("overwrite").parquet(s"$outPath-adj-src")
+      // per-block flat binaries IN the build's layout: the leg restores them
+      // with zero shuffle and no parquet nested-array decode (PartIO scaladoc;
+      // the parquet dirs above stay — the bench validates their existence and
+      // they remain the generic Dataset-level interchange format)
+      PartIO.writeBlockFiles(g.adjPartsByBlock.values, s"$outPath-adj-dst-bin")
+      PartIO.writeBlockFiles(g.gatherPartsRdd, s"$outPath-adj-src-bin")
       g.unpersistAll()
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$outPath-meta.json"),
