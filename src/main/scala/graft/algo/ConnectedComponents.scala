@@ -76,7 +76,7 @@ object ConnectedComponents {
     // distinct + persist + count + collect. The folded count bounds the
     // undirected count from above, so the gate is (slightly) conservative.
     if (graph.numEdges * 16 < ResidentEdgeBytes && graph.numVertices <= Int.MaxValue.toLong) {
-      val labels = residentLabels(graph, graph.edges.collect())
+      val labels = residentLabels(graph, graph.edgesLocal)
       val b = spark.sparkContext.broadcast(labels)
       val out = spark
         .range(graph.numVertices)

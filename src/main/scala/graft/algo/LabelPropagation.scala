@@ -132,7 +132,7 @@ object LabelPropagation {
     val n = graph.numVertices.toInt
 
     // local undirected fold of the collected folded edges
-    val raw = graph.edges.collect()
+    val raw = graph.edgesLocal
     val undMap = new java.util.HashMap[Long, java.lang.Double]()
     raw.foreach { e =>
       val k1 = e.src * graph.numVertices + e.dst

@@ -42,7 +42,7 @@ object TriangleCount {
     */
   private def residentData(graph: LinkGraph): (Array[Long], Array[Long]) = {
     val n = graph.numVertices.toInt
-    val raw = graph.edges.collect()
+    val raw = graph.edgesLocal
     // undirected simple edges packed (u << 32 | v), u < v, sorted + deduped
     val packed = new Array[Long](raw.length)
     var m = 0

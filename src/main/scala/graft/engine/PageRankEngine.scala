@@ -216,8 +216,13 @@ final class PageRankEngine(graph: LinkGraph, cfg: PageRankConfig) extends Serial
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     // stable per-superstep plans & partitioning inside the loop (SURVEY §4.2.4)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // force build+cache of the regime's adjacency layout before timing
-    if (driverResident) graph.gatherPartsRdd else graph.adjPartsByBlock
+    // force build+cache of the regime's adjacency layout before timing; the
+    // driver-local kernel only ever touches the local array — building the
+    // RDD too would pay a broadcast + persist it never reads
+    if (driverResident) {
+      if (graph.numEdges * 16 < PageRankEngine.LocalGatherBytes) graph.gatherPartsLocal
+      else graph.gatherPartsRdd
+    } else graph.adjPartsByBlock
     try {
       if (driverResident) runResident(start, startIter, t0, listener)
       else runDistributed(start, startIter, t0, listener)

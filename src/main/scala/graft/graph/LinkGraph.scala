@@ -49,6 +49,85 @@ final class LinkGraph(
 
   lazy val numEdges: Long = if (knownNumEdges >= 0) knownNumEdges else edges.count()
 
+  /** Folded edges collected ONCE for every driver-resident consumer (CC, LPA,
+    * triangle counting, the resident parts assembler) — they each used to pay
+    * their own collect of the same cached frame. Lazy: only consumers below
+    * their own size gates touch it.
+    */
+  lazy val edgesLocal: Array[Edge] = edges.collect()
+
+  /** True when the blocked adjacency can be ASSEMBLED on the driver: no
+    * prebuilt injection, adjacency bytes under the gate, vids in Int range.
+    * The driver assembly is bit-identical to [[buildParts]] (same wNorm from
+    * the same distributed inDegrees cache, same total sort order, same
+    * assembler) — see [[assembleLocal]].
+    */
+  private def residentAssembleOk: Boolean =
+    prebuiltDstParts.isEmpty && prebuiltGatherParts.isEmpty &&
+      prebuiltDstPartsLaidOut.isEmpty && prebuiltGatherPartsLaidOut.isEmpty &&
+      numVertices <= Int.MaxValue.toLong &&
+      numEdges * 16 < LinkGraph.ResidentAssembleBytes
+
+  /** Driver twin of [[buildParts]]. deg comes from a collect of the SAME
+    * distributed inDegrees cache (so wNorm is the identical IEEE division on
+    * identical deg values for ANY weights); rows are sorted by (key, other) —
+    * blockId = key/blockSize is monotone in key, so this is the identical
+    * total order the per-block sortWithinPartitions produces — and fed to the
+    * same streaming assembler. Caveat: duplicate (src, dst) rows (possible
+    * only through fromDenseWeighted's caller) have an undefined relative
+    * order in BOTH paths; every fold-built graph is duplicate-free.
+    */
+  private def assembleLocal(dstMajor: Boolean): Array[AdjPart] = {
+    val degRows = inDegrees.select($"vid", $"deg").as[(Long, Double)].collect()
+    val degMap = new java.util.HashMap[Long, java.lang.Double](degRows.length * 2)
+    degRows.foreach { case (vid, deg) => degMap.put(vid, deg) }
+    val sorted = edgesLocal.clone()
+    java.util.Arrays.sort(
+      sorted,
+      new java.util.Comparator[Edge] {
+        override def compare(a: Edge, b: Edge): Int = {
+          val (ka, kb) = if (dstMajor) (a.dst, b.dst) else (a.src, b.src)
+          val c = java.lang.Long.compare(ka, kb)
+          if (c != 0) c
+          else java.lang.Long.compare(
+            if (dstMajor) a.src else a.dst,
+            if (dstMajor) b.src else b.dst)
+        }
+      })
+    val bs = blockSize
+    val it = sorted.iterator.map { e =>
+      val key = if (dstMajor) e.dst else e.src
+      val other = if (dstMajor) e.src else e.dst
+      (key, other, e.weight / degMap.get(e.dst).doubleValue(), (key / bs).toInt)
+    }
+    new AdjPartAssembler(it, bs, LinkGraph.MaxEdgesPerPart).toArray
+  }
+
+  /** Distribute driver-assembled parts in the build's exact layout: partition
+    * b = block b's parts in assembler order (the data rides a broadcast; the
+    * establishing shuffle moves numBlocks ints).
+    */
+  private def laidOutRdd(parts: Array[AdjPart]): org.apache.spark.rdd.RDD[AdjPart] = {
+    val nb = numBlocks
+    val byBlock = Array.fill(nb)(scala.collection.mutable.ArrayBuffer.empty[AdjPart])
+    parts.foreach(p => byBlock(p.blockId) += p)
+    val grouped: Array[Array[AdjPart]] = byBlock.map(_.toArray)
+    val b = spark.sparkContext.broadcast(grouped)
+    spark.sparkContext
+      .parallelize(0 until nb, nb)
+      .map(i => (i, i))
+      .partitionBy(blockPartitioner)
+      .mapPartitions(
+        it => it.flatMap { case (i, _) => b.value(i).iterator },
+        preservesPartitioning = true)
+  }
+
+  /** Src-major parts assembled on the driver when the gate allows (shared by
+    * [[gatherPartsLocal]] and [[gatherPartsRdd]]).
+    */
+  @transient private lazy val gatherAssembled: Option[Array[AdjPart]] =
+    if (residentAssembleOk) Some(assembleLocal(dstMajor = false)) else None
+
   /** Weighted in-degree c[j] (the kernel's normalizer). Vertices absent here have
     * c = 0 and contribute nothing — the reference's zero-guard `where(c!=0,c,1)`
     * (pagerank.py:173-174) exists only to avoid a 0-division on all-zero columns.
@@ -112,10 +191,19 @@ final class LinkGraph(
     */
   @volatile private var adjPartsBuilt = false
   lazy val adjParts: Dataset[AdjPart] = {
-    val cached = buildParts("dst", "src").persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count()
-    adjPartsBuilt = true
-    cached
+    if (residentAssembleOk) {
+      // broadcast-backed: every consumption is a flatMap over the broadcast —
+      // cheaper than encoding millions of array-rows into a columnar cache
+      // that is only ever counted or written once
+      val ds = spark.createDataset(laidOutRdd(assembleLocal(dstMajor = true)))
+      ds.count()
+      ds
+    } else {
+      val cached = buildParts("dst", "src").persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      adjPartsBuilt = true
+      cached
+    }
   }
 
   /** Identity partitioner for vertex blocks: blockId b → partition b.
@@ -172,6 +260,7 @@ final class LinkGraph(
   @volatile private var gatherPartsBuilt = false
   lazy val gatherPartsRdd: org.apache.spark.rdd.RDD[AdjPart] = {
     val base = prebuiltGatherPartsLaidOut.getOrElse(prebuiltGatherParts match {
+      case None if gatherAssembled.isDefined => laidOutRdd(gatherAssembled.get)
       case Some(pre) =>
         // restore the direct build's layout: partition b = block b's parts in
         // assembler order (parquet splits neither partition nor order them)
@@ -194,7 +283,8 @@ final class LinkGraph(
     * bit-for-bit. The parts carry the SAME wNorm values the distributed
     * pipeline computed — only the per-superstep execution moves.
     */
-  lazy val gatherPartsLocal: Array[AdjPart] = gatherPartsRdd.collect()
+  lazy val gatherPartsLocal: Array[AdjPart] =
+    gatherAssembled.getOrElse(gatherPartsRdd.collect())
 
   def blockOf(vid: Long): Int = (vid / blockSize).toInt
 
@@ -345,6 +435,14 @@ object LinkGraph {
     * regimes. Mutable test hook — set 0 to force the distributed build.
     */
   var ResidentBuildBytes: Long = 96L * 1024 * 1024
+
+  /** Below this bound on the folded edge set (~16 B/edge) the blocked
+    * adjacency is assembled ON THE DRIVER (bit-identical — see
+    * [[LinkGraph.assembleLocal]]) instead of paying join + exchange + sort +
+    * cache jobs per orientation. Mutable test hook — 0 forces the cluster
+    * build.
+    */
+  var ResidentAssembleBytes: Long = 64L * 1024 * 1024
 
   /** Edge-budget target per block for the auto block count. */
   private val TargetEdgesPerBlock: Long = 64L * 1024
@@ -510,11 +608,12 @@ object LinkGraph {
     // auto path routes through the same edge-aware autoBlocks as fromEdgeList:
     // the old vertex-only n/1024 fallback gave a small-but-dense graph (e.g. a
     // dense induced prefix subgraph) ONE block = serial supersteps. The count
-    // materializes the persisted edge cache `numEdges` would count anyway.
-    val blocks =
-      if (numBlocks > 0) numBlocks else autoBlocks(spark, numVertices, positive.count())
+    // materializes the persisted edge cache `numEdges` would count anyway —
+    // and is passed through so numEdges never re-counts.
+    val cnt = if (numBlocks > 0) -1L else positive.count()
+    val blocks = if (numBlocks > 0) numBlocks else autoBlocks(spark, numVertices, cnt)
     val bs = (numVertices + blocks - 1) / math.max(blocks, 1)
-    new LinkGraph(spark, dict, positive, numVertices, blocks, math.max(bs, 1))
+    new LinkGraph(spark, dict, positive, numVertices, blocks, math.max(bs, 1), cnt)
   }
 
   /** Graph whose blocked adjacency was PRE-ASSEMBLED by a prior process and

@@ -69,12 +69,17 @@ object KernelBench {
   /** Wall-clock phase attribution to stderr (setup dominated the leg wall by
     * round 6; the JSON stays unchanged — these lines are forensics only).
     */
-  private def phase(name: String): Unit =
-    System.err.println(
-      f"[kb-phase] $name at uptime ${java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0}%.2f s")
+  private def up(): Double =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
+
+  private def phase(name: String): Double = {
+    val u = up()
+    System.err.println(f"[kb-phase] $name at uptime $u%.2f s")
+    u
+  }
 
   def main(args: Array[String]): Unit = {
-    phase("main-entry")
+    val upMain = phase("main-entry")
     val cores = args(0).toInt
     val n = args(1).toLong
     val e = args(2).toLong
@@ -101,7 +106,7 @@ object KernelBench {
       .config("spark.local.dir", graft.util.FastLocalDir.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    phase("session-up")
+    val upSession = phase("session-up")
 
     // block count is a property of the DATA layout, not of the cluster size:
     // comparing parallelism levels on the same input requires the same
@@ -162,7 +167,7 @@ object KernelBench {
     phase("graph-defined")
     // build + cache the regime's adjacency layout before timing
     if (regime == "distributed") g.adjPartsByBlock.count() else g.gatherPartsRdd.count()
-    phase("adjacency-cached")
+    val upCached = phase("adjacency-cached")
     val folded = g.numEdges
     val weather = memGbps() // DRAM weather snapshot, right before the timed region
     phase("probe-done")
@@ -222,7 +227,8 @@ object KernelBench {
         f""""edges_per_sec":${folded / med}%.0f,"peak_heap_mb":$peakHeapMb,""" +
         f""""mem_gbps":$weather%.2f,"steal_sec":${steal1 - steal0}%.2f,"steal_frac":$stealFrac%.3f,""" +
         f""""steps":$stepsJson,"steps_cpu":$stepsCpuJson,"steps_steal":$stepsStealJson,""" +
-        f""""steps_gc":$stepsGcJson,"steps_jit":$stepsJitJson,"classes_per_step":$classesPerStep%.0f}"""
+        f""""steps_gc":$stepsGcJson,"steps_jit":$stepsJitJson,"classes_per_step":$classesPerStep%.0f,""" +
+        f""""up_main":$upMain%.2f,"up_session":$upSession%.2f,"up_cached":$upCached%.2f,"up_done":${up()}%.2f}"""
     phase("teardown-start")
     println(line)
     // forensics trail: every leg appends its full JSON to the scratch root,

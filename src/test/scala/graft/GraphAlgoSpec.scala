@@ -233,6 +233,32 @@ class GraphAlgoSpec extends GraftSuite {
     ra.free(); rb.free(); a.unpersistAll(); b.unpersistAll()
   }
 
+  test("driver-assembled adjacency parts match the cluster build bit-for-bit") {
+    val edges = DenseReference.randomEdges(150, 0.05, seed = 53).map(e => (e._1.toLong, e._2.toLong))
+    def partsOf(g: LinkGraph) = g.adjParts.collect()
+      .map(p => (p.blockId, p.partId, p.keys.toSeq, p.offsets.toSeq, p.adj.toSeq, p.wNorm.toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def ranksOf(g: LinkGraph) = {
+      val out = PageRank.run(g, tolerance = 0.0, maxIterations = 6)
+      val v = out.toVertexDf(g).collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+      out.free(); v
+    }
+    val a = graphOf(edges) // default gate: driver-assembled
+    val (pa, va) = (partsOf(a), ranksOf(a))
+    val was = LinkGraph.ResidentAssembleBytes
+    LinkGraph.ResidentAssembleBytes = 0L // gate is read at lazy-layout build time
+    val (pb, vb) =
+      try {
+        val b = graphOf(edges)
+        val r = (partsOf(b), ranksOf(b))
+        b.unpersistAll()
+        r
+      } finally LinkGraph.ResidentAssembleBytes = was
+    assert(pb == pa) // identical keys/offsets/adjacency AND wNorm doubles
+    assert(vb == va)
+    a.unpersistAll()
+  }
+
   test("LPA driver-resident regime matches the distributed supersteps exactly") {
     val edges = DenseReference.randomEdges(60, 0.08, seed = 31).map(e => (e._1.toLong, e._2.toLong))
     val g = graphOf(edges)
