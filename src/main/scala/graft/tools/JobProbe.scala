@@ -59,6 +59,15 @@ object JobProbe {
       }
       if (which == "graph") { g.unpersistAll(); TestdataGraph.clearCache() }
     }
+    if (which == "repo2") { // warm second pass, per-job walls
+      for (p <- 1 to 2) t(s"repo_pipeline_$p") {
+        val files = RepoFiles.table(spark, numRepos = 2000, filesPerRepo = 10, vocab = 2000)
+        val rg = t(s"repo_linkGraph_$p")(RepoFiles.linkGraph(spark, files, maxReposPerToken = 200))
+        t(s"repo_adjParts_$p")(rg.adjParts.count())
+        val out = t(s"repo_pagerank5_$p")(PageRank.run(rg, tolerance = 0.0, maxIterations = 5))
+        out.free(); rg.unpersistAll()
+      }
+    }
     if (which == "repo" || which == "both") {
       t("repo_pipeline") {
         val files = RepoFiles.table(spark, numRepos = 2000, filesPerRepo = 10, vocab = 2000)
