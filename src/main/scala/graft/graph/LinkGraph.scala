@@ -54,7 +54,8 @@ final class LinkGraph(
     * their own collect of the same cached frame. Lazy: only consumers below
     * their own size gates touch it.
     */
-  lazy val edgesLocal: Array[Edge] = edges.collect()
+  @volatile private[graft] var edgesLocalPre: Option[Array[Edge]] = None
+  lazy val edgesLocal: Array[Edge] = edgesLocalPre.getOrElse(edges.collect())
 
   /** True when the blocked adjacency can be ASSEMBLED on the driver: no
     * prebuilt injection, adjacency bytes under the gate, vids in Int range.
@@ -449,6 +450,12 @@ object LinkGraph {
     */
   var ResidentAssembleBytes: Long = 64L * 1024 * 1024
 
+  /** Raw-pair cap for [[fromEdgeList]]'s resident-fold probe (a limit-collect
+    * of the unfolded pairs; ~16 B/row, so the default caps the probe at
+    * ~32 MB). 0 disables the probe entirely. Mutable test hook.
+    */
+  var ResidentFoldRows: Long = 2L * 1024 * 1024
+
   /** Quicksort `keys` ascending, permuting `vals` alongside (median-of-three
     * pivot, insertion sort below 32). Deterministic for a given input order;
     * ties (duplicate keys) keep an arbitrary relative order, exactly like the
@@ -532,6 +539,25 @@ object LinkGraph {
       idMode: IdMode = IdMode.Compacted
   ): LinkGraph = {
     import spark.implicits._
+    if (idMode == IdMode.Compacted && ResidentFoldRows > 0) {
+      // Resident-fold probe (guide §1.2 step 1): ONE incremental limit-collect
+      // of the raw pairs replaces the fold aggregation, the dictionary
+      // distinct, and the two remap joins — three whole plan shapes whose
+      // cold Catalyst/Janino time dominated the contract-scale build. Under
+      // the cap the collect is the COMPLETE pair multiset (set-complete
+      // regardless of which partitions filled the limit first; fold counts
+      // are order-insensitive integers). Over the cap, CollectLimit stops
+      // after a handful of partitions (executeTake grows 1, 2, 4, … tasks),
+      // so a 100 TB caller pays one cheap probe and takes the distributed
+      // pipeline unchanged.
+      val cap = math.min(ResidentFoldRows, Int.MaxValue.toLong - 2).toInt
+      val probe = rawEdges
+        .select($"src".cast("long"), $"dst".cast("long"))
+        .limit(cap + 1)
+        .as[(Long, Long)]
+        .collect()
+      if (probe.length <= cap) return residentFromPairs(spark, probe, numBlocks)
+    }
     fromFoldedEdgeList(
       spark,
       rawEdges
@@ -540,6 +566,77 @@ object LinkGraph {
         .agg(count(lit(1)).cast("double").as("weight")),
       numBlocks,
       idMode)
+  }
+
+  /** Driver fold + dictionary + remap of a collected raw pair multiset —
+    * value-identical to the distributed build: fold weights are duplicate
+    * counts (exact integers, order-insensitive), vids are the ascending
+    * sort rank of the distinct external ids, and the remapped edges are
+    * parallelized back in a deterministic (src, dst) vid-sorted order.
+    */
+  private def residentFromPairs(
+      spark: SparkSession,
+      pairs: Array[(Long, Long)],
+      numBlocks: Int
+  ): LinkGraph = {
+    import spark.implicits._
+    val counts = new java.util.HashMap[(Long, Long), Array[Long]](pairs.length * 2)
+    pairs.foreach { p =>
+      val c = counts.get(p)
+      if (c == null) counts.put(p, Array(1L)) else c(0) += 1
+    }
+    val m = counts.size()
+    // dictionary: ascending distinct external ids
+    val idSet = new java.util.HashSet[java.lang.Long](m * 2)
+    pairs.foreach { case (s, d) => idSet.add(s); idSet.add(d); () }
+    val ids = new Array[Long](idSet.size())
+    var i = 0
+    val idIt = idSet.iterator()
+    while (idIt.hasNext) { ids(i) = idIt.next().longValue(); i += 1 }
+    java.util.Arrays.sort(ids)
+    val n = ids.length
+    val vidOf = new java.util.HashMap[Long, Long](n * 2)
+    val mappings = new Array[VertexMapping](n)
+    i = 0
+    while (i < n) {
+      vidOf.put(ids(i), i.toLong)
+      mappings(i) = VertexMapping(ids(i), i.toLong)
+      i += 1
+    }
+    // remap + deterministic (src, dst) vid order via the primitive dual sort
+    val packed = new Array[Long](m)
+    val w = new Array[Double](m)
+    i = 0
+    val entryIt = counts.entrySet().iterator()
+    while (entryIt.hasNext) {
+      val e = entryIt.next()
+      val sv = vidOf.get(e.getKey._1)
+      val dv = vidOf.get(e.getKey._2)
+      packed(i) = (sv << 32) | dv // vids dense < 2³¹
+      w(i) = e.getValue()(0).toDouble
+      i += 1
+    }
+    dualSort(packed, w, 0, m - 1)
+    val remapped = new Array[Edge](m)
+    i = 0
+    while (i < m) {
+      remapped(i) = Edge(packed(i) >>> 32, packed(i) & 0xffffffffL, w(i))
+      i += 1
+    }
+    val p = math.max(1, spark.sparkContext.defaultParallelism)
+    val dict = spark.createDataset(spark.sparkContext.parallelize(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(mappings), p))
+    dict.persist(StorageLevel.MEMORY_AND_DISK)
+    dict.count()
+    val edges = spark.createDataset(spark.sparkContext.parallelize(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(remapped), p))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val blocks = if (numBlocks > 0) numBlocks else autoBlocks(spark, n, m)
+    val bs = (n + blocks - 1) / math.max(blocks, 1)
+    val g = new LinkGraph(spark, dict, edges, n, blocks, math.max(bs, 1), m)
+    g.edgesLocalPre = Some(remapped) // the resident consumers' copy, no collect
+    g
   }
 
   /** [[fromEdgeList]] for a caller that already folded duplicates into

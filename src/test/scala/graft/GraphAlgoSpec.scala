@@ -213,10 +213,16 @@ class GraphAlgoSpec extends GraftSuite {
     // sparse external ids (gaps + duplicates) exercise dictionary compaction
     val edges = Seq.fill(400)((rng.nextInt(5000).toLong * 7, rng.nextInt(5000).toLong * 7))
     def build() = LinkGraph.fromEdgeList(spark, edges.toDF("src", "dst"))
-    val a = build() // default gate: resident finish
-    val was = LinkGraph.ResidentBuildBytes
-    LinkGraph.ResidentBuildBytes = 0L
-    val b = try build() finally LinkGraph.ResidentBuildBytes = was
+    val a = build() // default gates: resident fold (the whole build on the driver)
+    val (wasB, wasF) = (LinkGraph.ResidentBuildBytes, LinkGraph.ResidentFoldRows)
+    LinkGraph.ResidentBuildBytes = 0L // distributed dictionary AND
+    LinkGraph.ResidentFoldRows = 0L // distributed fold: the full cluster build
+    val b =
+      try build()
+      finally {
+        LinkGraph.ResidentBuildBytes = wasB
+        LinkGraph.ResidentFoldRows = wasF
+      }
     assert(a.numVertices == b.numVertices && a.numBlocks == b.numBlocks)
     def dictOf(g: LinkGraph) =
       g.vertexDict.collect().map(m => (m.extId, m.vid)).sortBy(_._1).toSeq
