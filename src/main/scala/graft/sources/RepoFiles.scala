@@ -167,7 +167,14 @@ object RepoFiles {
       .select(xxhash64($"repoA").as("src"), xxhash64($"repoB").as("dst"))
       .groupBy($"src", $"dst")
       .agg(count(lit(1)).cast("double").as("weight"))
-    val folded = half.union(half.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    // mirror INSIDE one projection: the previous union shape re-ran the final
+    // fold aggregation once per branch (ReuseExchange dedups only the
+    // exchange underneath) — same folded row set, one evaluation (guide §2.4)
+    val folded = half
+      .select(explode(array(
+        struct($"src", $"dst", $"weight"),
+        struct($"dst".as("src"), $"src".as("dst"), $"weight"))).as("e"))
+      .select($"e.src", $"e.dst", $"e.weight")
     LinkGraph.fromFoldedEdgeList(spark, folded)
   }
 
