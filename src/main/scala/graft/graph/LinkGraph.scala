@@ -147,23 +147,64 @@ final class LinkGraph(
   lazy val outDegrees: DataFrame =
     edges.groupBy($"src".as("vid")).agg(sum($"weight").as("deg"))
 
-  /** Full per-vertex degree table (zero-filled). Columns: vid, inDeg, outDeg. */
+  /** Full per-vertex degree table (zero-filled). Columns: vid, inDeg, outDeg.
+    *
+    * Driver-resident regime: when the edge set fits the assemble gate AND
+    * every weight is a (magnitude-bounded) integer, the degree sums are exact
+    * in any order, so one driver pass over [[edgesLocal]] replaces the
+    * two-broadcast-join build. Rows are emitted vid-ascending in the SAME
+    * even parallelize slices the dictionary uses — the identical partition
+    * layout the join build produced (broadcast joins preserve the streamed
+    * dict's rows) — so even downstream DOUBLE aggregations (e.g. the
+    * imbalance-ratio mean) see the identical per-partition sequences.
+    * Fractional weights take the join path: their sums are order-sensitive.
+    */
   @volatile private var degreeTableBuilt = false
   lazy val degreeTable: DataFrame = {
-    val t = vertexDict
-      .join(inDegrees.withColumnRenamed("deg", "inDeg"), Seq("vid"), "left")
-      .join(
-        outDegrees.withColumnRenamed("deg", "outDeg").withColumnRenamed("vid", "vid"),
-        Seq("vid"),
-        "left")
-      .select(
-        $"vid",
-        $"extId",
-        coalesce($"inDeg", lit(0.0)).as("inDeg"),
-        coalesce($"outDeg", lit(0.0)).as("outDeg"))
+    val t =
+      if (residentDegreesOk) residentDegreeTable()
+      else
+        vertexDict
+          .join(inDegrees.withColumnRenamed("deg", "inDeg"), Seq("vid"), "left")
+          .join(
+            outDegrees.withColumnRenamed("deg", "outDeg").withColumnRenamed("vid", "vid"),
+            Seq("vid"),
+            "left")
+          .select(
+            $"vid",
+            $"extId",
+            coalesce($"inDeg", lit(0.0)).as("inDeg"),
+            coalesce($"outDeg", lit(0.0)).as("outDeg"))
     t.persist(StorageLevel.MEMORY_AND_DISK)
     degreeTableBuilt = true
     t
+  }
+
+  private def residentDegreesOk: Boolean =
+    numVertices <= Int.MaxValue.toLong &&
+      numEdges * 16 < LinkGraph.ResidentAssembleBytes &&
+      numEdges <= (1L << 21) && // with |w| ≤ 2³¹: Σ|w| ≤ 2⁵² — exact in double
+      edgesLocal.forall(e =>
+        e.weight == math.rint(e.weight) && math.abs(e.weight) <= (1L << 31).toDouble)
+
+  private def residentDegreeTable(): DataFrame = {
+    val n = numVertices.toInt
+    val inD = new Array[Double](n)
+    val outD = new Array[Double](n)
+    edgesLocal.foreach { e =>
+      inD(e.dst.toInt) += e.weight
+      outD(e.src.toInt) += e.weight
+    }
+    val ext = new Array[Long](n)
+    vertexDict.collect().foreach(m => ext(m.vid.toInt) = m.extId)
+    val rows = new Array[(Long, Long, Double, Double)](n)
+    var i = 0
+    while (i < n) { rows(i) = (i.toLong, ext(i), inD(i), outD(i)); i += 1 }
+    val p = math.max(1, spark.sparkContext.defaultParallelism)
+    spark
+      .createDataset(spark.sparkContext.parallelize(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(rows), p))
+      .toDF("vid", "extId", "inDeg", "outDeg")
   }
 
   /** Blocked adjacency with precomputed wNorm = w / c[dst] (D hoisted out of

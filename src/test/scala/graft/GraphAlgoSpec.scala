@@ -265,6 +265,32 @@ class GraphAlgoSpec extends GraftSuite {
     a.unpersistAll()
   }
 
+  test("driver-resident degree table matches the join build exactly") {
+    val edges = DenseReference.randomEdges(140, 0.05, seed = 61).map(e => (e._1.toLong, e._2.toLong))
+    def rowsAndAgg(g: LinkGraph) = {
+      val t = g.degreeTable
+      val rows = t.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+      // a DOUBLE aggregation (order-sensitive): identical partition layout ⇒
+      // identical partial sums ⇒ exact equality, not just closeness
+      val agg = t.agg(
+        org.apache.spark.sql.functions.avg(
+          t("outDeg") / (t("inDeg") + org.apache.spark.sql.functions.lit(1e-10))))
+        .first().getDouble(0)
+      (rows, agg)
+    }
+    val a = graphOf(edges)
+    val (ra, aa) = rowsAndAgg(a) // default gate: resident
+    a.unpersistAll()
+    val was = LinkGraph.ResidentAssembleBytes
+    LinkGraph.ResidentAssembleBytes = 0L
+    val (rb, ab) =
+      try { val b = graphOf(edges); val r = rowsAndAgg(b); b.unpersistAll(); r }
+      finally LinkGraph.ResidentAssembleBytes = was
+    assert(ra == rb)
+    assert(aa == ab)
+  }
+
   test("LPA driver-resident regime matches the distributed supersteps exactly") {
     val edges = DenseReference.randomEdges(60, 0.08, seed = 31).map(e => (e._1.toLong, e._2.toLong))
     val g = graphOf(edges)
