@@ -30,7 +30,11 @@ object FastLocalDir {
     */
   lazy val scratchRoot: String = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
+    // capacity gate (round-5 ADVICE): containers commonly cap /dev/shm at
+    // 64 MB (Docker default), far below shuffle volume at bench scale —
+    // require real headroom before routing spark.local.dir there
+    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > 8L * 1024 * 1024 * 1024)
+      shm.getAbsolutePath
     else System.getProperty("java.io.tmpdir")
   })
 

@@ -40,14 +40,22 @@ object HostProbe {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val lines = src.getLines().toSeq
+        // -1 when the steal column is absent (pre-2.6.11 kernels, some
+        // container runtimes): "counter unavailable" must not read as "no
+        // steal" — everywhere else in this API unavailability is -1
+        // (round-5 ADVICE)
         def stealOf(cols: Array[String]): Double =
-          if (cols.length > 8) cols(8).toDouble / 100.0 else 0.0
+          if (cols.length > 8) cols(8).toDouble / 100.0 else -1.0
         if (pinnedCpus.nonEmpty) {
           val rows = lines.filter { l =>
             l.startsWith("cpu") && l.length > 3 && l(3).isDigit &&
             pinnedCpus.contains(l.drop(3).takeWhile(_.isDigit).toInt)
           }
-          if (rows.isEmpty) -1.0 else rows.map(l => stealOf(l.trim.split("\\s+"))).sum
+          if (rows.isEmpty) -1.0
+          else {
+            val vals = rows.map(l => stealOf(l.trim.split("\\s+")))
+            if (vals.exists(_ < 0)) -1.0 else vals.sum
+          }
         } else stealOf(lines.head.trim.split("\\s+"))
       } finally src.close()
     } catch { case _: Exception => -1.0 }
